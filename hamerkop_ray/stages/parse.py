@@ -1,0 +1,148 @@
+"""Stage 1 — parse: documents(spans) → mentions table.
+
+Re-expresses hamerkop's InputReader/DocumentPreparer (io.py:21-164) as a
+stateless, embarrassingly-parallel map_batches over the documents table: every
+input row (one document) yields its mention rows inside the same task, so doc
+locality is free and no shuffle happens.
+
+Span encoding contract (see schemas.SPAN_TYPE):
+  kind='token'          one document token (text = token).
+  kind='mention/TYPE'   one tagged mention (text = full surface form, possibly
+                        multi-token; its tokens ARE document tokens and are not
+                        repeated as token spans — mirrors CoNLL BIO where
+                        mention tokens are document tokens, io.py:122-141).
+                        TYPE carries the NER tag suffix like BIO 'B-PER'.
+                        Bare 'mention' means unknown type.
+  kind='media'          interleaved opaque media; identity-only passthrough,
+                        contributes no chars/tokens.
+  offset                1-based char start in the implicit document text
+                        (' '-joined tokens), hamerkop convention core.py:155.
+
+The spans column itself is never modified anywhere in the engine; the per-row
+span-sequence invariant required by BASELINE.json holds by construction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import ids
+from ..schemas import MENTIONS
+
+# DocType detection from doc_id substring (reference core.py:50-70).
+_DOC_TYPES = [
+    ("_SN_", "twitter"),
+    ("_WL_", "blog"),
+    ("_RF_", "reference"),
+    ("_DF_", "discussion forum"),
+    ("_NW_", "newswire"),
+]
+
+
+def detect_doc_type(doc_id: str) -> str:
+    for marker, dt in _DOC_TYPES:
+        if marker in doc_id:
+            return dt
+    return "unknown"  # reference raises (core.py:70); we degrade gracefully
+
+
+def doc_text_and_tokens(kinds: list[str], texts: list[str]) -> tuple[str, list[str]]:
+    """Reconstruct the implicit document text and token stream of one row."""
+    tokens: list[str] = []
+    for k, t in zip(kinds, texts):
+        if k == "token":
+            tokens.append(t)
+        elif k.startswith("mention"):
+            tokens.extend(t.split(" "))
+    return " ".join(tokens), tokens
+
+
+class ParseDocuments:
+    """spans → mentions, for map_batches(batch_format="pyarrow").
+
+    Usable as a plain task (stateless) or, with a language detector, as an
+    actor-pool class so the detector's profiles load once per actor.
+    """
+
+    def __init__(self, lang_detector=None, default_lang: str = "eng"):
+        self.lang_detector = lang_detector
+        self.default_lang = default_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans")
+        # Flatten once per batch: one ListArray → offsets + child struct arrays.
+        rows: list[tuple] = []
+        for chunk_doc_offset, chunk in self._chunks(spans_col):
+            flat = chunk.flatten()  # StructArray of all spans in this chunk
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            offs = flat.field("offset").to_pylist()
+            list_offsets = chunk.offsets.to_pylist()
+            for i in range(len(chunk)):
+                lo, hi = list_offsets[i], list_offsets[i + 1]
+                doc_id = doc_ids[chunk_doc_offset + i]
+                rows.extend(
+                    self._parse_one(
+                        doc_id, kinds[lo:hi], texts[lo:hi], offs[lo:hi]
+                    )
+                )
+        if not rows:
+            return MENTIONS.empty_table()
+        cols = list(zip(*rows))
+        arrays = [
+            pa.array(cols[j], type=MENTIONS.field(j).type)
+            for j in range(len(MENTIONS.names))
+        ]
+        return pa.Table.from_arrays(arrays, schema=MENTIONS)
+
+    @staticmethod
+    def _chunks(col):
+        """Yield (row_offset, ListArray) over a possibly-chunked column."""
+        if isinstance(col, pa.ChunkedArray):
+            off = 0
+            for chunk in col.chunks:
+                yield off, chunk
+                off += len(chunk)
+        else:
+            yield 0, col
+
+    def _parse_one(self, doc_id, kinds, texts, offs) -> list[tuple]:
+        doc_type = detect_doc_type(doc_id)
+        lang = self.default_lang
+        if self.lang_detector is not None:
+            tokens = [t for k, t in zip(kinds, texts) if k == "token" and t]
+            lang = self.lang_detector.detect(doc_id, tokens)
+        out = []
+        tok_cursor = 0
+        mention_idx = 0
+        for kind, text, offset in zip(kinds, texts, offs):
+            if kind == "token":
+                tok_cursor += 1
+            elif kind.startswith("mention"):
+                etype = kind[8:] if len(kind) > 8 and kind[7] == "/" else ""
+                n_toks = text.count(" ") + 1
+                char_start = int(offset)
+                char_stop = char_start + len(text) - 1  # inclusive
+                out.append(
+                    (
+                        ids.mention_id(doc_id, char_start, char_stop),
+                        doc_id,
+                        mention_idx,
+                        text,  # surface
+                        text,  # norm starts equal to surface
+                        "",  # translit
+                        "",  # translate
+                        etype,
+                        char_start,
+                        char_stop,
+                        tok_cursor,
+                        tok_cursor + n_toks,
+                        lang,
+                        doc_type,
+                    )
+                )
+                tok_cursor += n_toks
+                mention_idx += 1
+            # media spans: no chars, no tokens, identity-only
+        return out
