@@ -72,7 +72,29 @@ CHAINED_MENTIONS = MENTIONS.append(pa.field("chain_id", pa.string()))
 # chains — one row per within-doc mention chain (reference MentionChain,
 # core.py:178-240). Rollups follow the reference: name = longest mention
 # string; names = distinct strings; type = first mention's type.
+#
+# The chain row CONTAINS its mentions as a nested list column so that a chain
+# is always complete within its row — chain integrity never depends on Ray
+# block boundaries, and downstream blocking/scoring are strictly per-row.
+# The wide ``spans`` column of the documents table is never carried here
+# (SURVEY.md §7 hard part 6: keep spans out of shuffles).
 # ---------------------------------------------------------------------------
+CHAIN_MENTION_TYPE = pa.struct(
+    [
+        ("mention_id", pa.string()),
+        ("mention_idx", pa.int32()),
+        ("surface", pa.string()),
+        ("norm", pa.string()),
+        ("translit", pa.string()),
+        ("translate", pa.string()),
+        ("entity_type", pa.string()),
+        ("char_start", pa.int32()),
+        ("char_stop", pa.int32()),
+        ("tok_start", pa.int32()),
+        ("tok_stop", pa.int32()),
+    ]
+)
+
 CHAINS = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -86,6 +108,7 @@ CHAINS = pa.schema(
         ("lang", pa.string()),
         ("doc_type", pa.string()),
         ("n_mentions", pa.int32()),
+        ("mentions", pa.list_(CHAIN_MENTION_TYPE)),
     ]
 )
 
