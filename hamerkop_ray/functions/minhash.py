@@ -1,0 +1,112 @@
+"""Vectorized MinHash / LSH-band and SimHash kernels.
+
+Standard constructions from the literature (Broder 1997 min-wise hashing;
+Indyk/Gionis et al. LSH; Charikar 2002 SimHash), implemented with numpy so a
+batch of strings is hashed without Python-level inner loops where possible.
+
+Used for (a) fuzzy blocking keys over name strings (character 3-gram shingles
+per BASELINE.json north_star) and (b) near-duplicate document detection
+(functions as in large-scale training-data dedup).
+
+All hashing is blake2b-seeded and deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .strings import shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for the universal hash family."""
+    out_a = np.empty(num_perm, dtype=np.uint64)
+    out_b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        d = hashlib.blake2b(f"minhash:{seed}:{i}".encode(), digest_size=16).digest()
+        out_a[i] = (int.from_bytes(d[:8], "little") % (_MERSENNE - 1)) + 1
+        out_b[i] = int.from_bytes(d[8:], "little") % _MERSENNE
+    return out_a, out_b
+
+
+class MinHasher:
+    """MinHash signatures over character n-gram shingles.
+
+    Build once (per actor / per process) — coefficient setup is the stateful
+    part; ``signature`` is then vectorized over a token's shingle set.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 1):
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+        self.a, self.b = _coeffs(num_perm, seed)
+
+    def _shingle_hashes(self, s: str) -> np.ndarray:
+        sh = shingles(s, self.shingle_n)
+        if not sh:
+            return np.zeros(1, dtype=np.uint64)
+        out = np.empty(len(sh), dtype=np.uint64)
+        for i, g in enumerate(sh):
+            out[i] = int.from_bytes(
+                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+        return out
+
+    def signature(self, s: str) -> np.ndarray:
+        """num_perm minima of (a*h + b) mod p over the shingle hashes."""
+        h = self._shingle_hashes(s) % _MERSENNE  # (n,)
+        # (num_perm, n) without python loops
+        vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def band_keys(self, s: str, bands: int = 16) -> list[str]:
+        """LSH band keys: signature split into ``bands`` rows-per-band groups,
+        each band hashed to one short hex key prefixed by the band index."""
+        sig = self.signature(s)
+        rows = self.num_perm // bands
+        keys = []
+        for b in range(bands):
+            chunk = sig[b * rows : (b + 1) * rows].tobytes()
+            d = hashlib.blake2b(chunk, digest_size=8).hexdigest()
+            keys.append(f"{b}:{d}")
+        return keys
+
+    def jaccard_estimate(self, sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact character n-gram Jaccard (verification step after LSH)."""
+    sa, sb = set(shingles(a, n)), set(shingles(b, n))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash(s: str, n: int = 3, bits: int = 64) -> int:
+    """Charikar SimHash over character n-gram shingles."""
+    sh = shingles(s, n)
+    if not sh:
+        return 0
+    acc = np.zeros(bits, dtype=np.int64)
+    for g in sh:
+        h = int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+        bitsarr = (h >> np.arange(bits, dtype=np.uint64)) & 1
+        acc += np.where(bitsarr.astype(bool), 1, -1)
+    out = 0
+    for i in range(bits):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,226 @@
+"""Evaluation: coref metrics (MUC, B³), pairwise cluster F1, scorer reports.
+
+All scorer state in the reference is additive per-document sums
+(coref.py:66-110), so every metric here is an exact parallel aggregate:
+per-document partials → global sums.
+
+The pairwise-F1 harness implements the BASELINE.json acceptance metric:
+labeled mention pairs sampled *within the same blocking key* are compared for
+cluster co-membership between a prediction and the reference/ground truth.
+Blocking keys for pair sampling are MinHash LSH band keys of the mention
+surface (plus entity type), which yields both positives and hard negatives
+(similar-looking names of different entities).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from ..functions.minhash import MinHasher
+
+# ---------------------------------------------------------------------------
+# MUC / B³ (reference coref.py:116-147 — published metric definitions:
+# Vilain et al. 1995; Bagga & Baldwin 1998)
+# ---------------------------------------------------------------------------
+
+
+def muc(clusters: list[list[str]], mention_map: dict[str, object]) -> tuple[int, int]:
+    """Returns (numerator, denominator) of MUC over one document
+    (coref.py:116-129)."""
+    tp = p = 0
+    for c in clusters:
+        p += len(c) - 1
+        tp += len(c)
+        linked = set()
+        for m in c:
+            if m in mention_map:
+                linked.add(mention_map[m])
+            else:
+                tp -= 1
+        tp -= len(linked)
+    return tp, p
+
+
+def b3(clusters: list[list[str]], mention_map: dict[str, object]) -> tuple[float, int]:
+    """Returns (numerator, denominator) of B³ over one document
+    (coref.py:131-147) — reference semantics preserved exactly, including
+    skipping singleton clusters and 'len(cluster_id) != 1' quirk."""
+    num = 0.0
+    dem = 0
+    for c in clusters:
+        if len(c) == 1:
+            continue
+        gt_counts: Counter = Counter()
+        correct = 0
+        for m in c:
+            if m in mention_map:
+                gt_counts[mention_map[m]] += 1
+        for c2, count in gt_counts.items():
+            if len(c2) != 1:
+                correct += count * count
+        num += correct / len(c)
+        dem += len(c)
+    return num, dem
+
+
+class AdditiveScorer:
+    """CorefScorer analog (coref.py:51-114): accumulate per-doc partials of a
+    metric in both directions; P/R/F1 from the sums.  Partials are additive,
+    so shards can be scored independently and merged with ``merge``."""
+
+    def __init__(self, metric=b3):
+        self.metric = metric
+        self.p_num = 0.0
+        self.p_den = 0
+        self.r_num = 0.0
+        self.r_den = 0
+
+    def update(self, predicted_clusters, gt_clusters):
+        gt_map = _mention_map(gt_clusters)
+        pred_map = _mention_map(predicted_clusters)
+        pn, pd = self.metric(predicted_clusters, gt_map)
+        rn, rd = self.metric(gt_clusters, pred_map)
+        self.p_num += pn
+        self.p_den += pd
+        self.r_num += rn
+        self.r_den += rd
+
+    def merge(self, other: "AdditiveScorer"):
+        self.p_num += other.p_num
+        self.p_den += other.p_den
+        self.r_num += other.r_num
+        self.r_den += other.r_den
+
+    @property
+    def precision(self):
+        return self.p_num / self.p_den if self.p_num else 0
+
+    @property
+    def recall(self):
+        return self.r_num / self.r_den if self.r_num else 0
+
+    @property
+    def f1(self):
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0
+
+
+def _mention_map(clusters) -> dict[str, str]:
+    out = {}
+    for i, c in enumerate(clusters):
+        cid = f"C{i + 1}"
+        for m in c:
+            out[m] = cid
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pairwise cluster F1 at shared blocking keys (BASELINE.json metric)
+# ---------------------------------------------------------------------------
+
+
+def blocking_pairs(
+    mention_surfaces: dict[str, str],
+    mention_types: dict[str, str],
+    *,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> set[tuple[str, str]]:
+    """All mention pairs sharing (entity_type, LSH band key of surface).
+    Buckets larger than max_bucket are truncated deterministically (sorted
+    ids) to bound the quadratic blow-up — truncation is logged by callers."""
+    hasher = MinHasher(num_perm=64, seed=1)
+    buckets: dict[tuple[str, str], list[str]] = defaultdict(list)
+    sig_cache: dict[str, list[str]] = {}
+    for mid, surface in mention_surfaces.items():
+        keys = sig_cache.get(surface)
+        if keys is None:
+            keys = hasher.band_keys(surface, bands)
+            sig_cache[surface] = keys
+        et = mention_types.get(mid, "")
+        for k in keys:
+            buckets[(et, k)].append(mid)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        members = sorted(set(members))[:max_bucket]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
+def pairwise_f1(
+    pred_assign: dict[str, str],
+    gold_assign: dict[str, str],
+    pairs: set[tuple[str, str]],
+) -> dict:
+    """P/R/F1 of cluster co-membership over the labeled pairs."""
+    tp = fp = fn = tn = 0
+    for a, b in pairs:
+        if a not in pred_assign or b not in pred_assign:
+            continue
+        if a not in gold_assign or b not in gold_assign:
+            continue
+        same_pred = pred_assign[a] == pred_assign[b]
+        same_gold = gold_assign[a] == gold_assign[b]
+        if same_pred and same_gold:
+            tp += 1
+        elif same_pred:
+            fp += 1
+        elif same_gold:
+            fn += 1
+        else:
+            tn += 1
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+            "n_pairs": tp + fp + fn + tn}
+
+
+def gold_assignment_from_links(links_rows: list[dict]) -> dict[str, str]:
+    """Ground-truth cluster per mention: the kb_id link set, or the NIL
+    cluster id (FIXTURES.md §4 labeled-pair derivation)."""
+    return {r["mention_id"]: r["kb_id"] for r in links_rows}
+
+
+def candidate_recall(cands_rows: list[dict], gt: dict[str, str]) -> dict:
+    """CandidatesScorer analog (candidates.py:15-75): fraction of linked
+    chains whose GT entity appears among candidates, by type."""
+    total: Counter = Counter()
+    found: Counter = Counter()
+    for c in cands_rows:
+        gts = {gt[m["mention_id"]] for m in c["mentions"] if m["mention_id"] in gt}
+        linked = {g for g in gts if not g.startswith("NIL")}
+        if not linked:
+            continue
+        et = c["entity_type"]
+        total[et] += 1
+        if linked & {x["entity_id"] for x in c["candidates"]}:
+            found[et] += 1
+    out = {et: found[et] / total[et] for et in total}
+    out["ALL"] = sum(found.values()) / sum(total.values()) if total else 1.0
+    return out
+
+
+def resolution_report(resolved_rows: list[dict], gt: dict[str, str]) -> dict:
+    """ResolverScorer analog (resolver.py:18-137): micro P/R/F1 of entity
+    selection over linked chains + false-alarm count on NIL chains."""
+    tp = fp = fn = false_alarm = 0
+    for c in resolved_rows:
+        gts = {gt[m["mention_id"]] for m in c["mentions"] if m["mention_id"] in gt}
+        linked = {g for g in gts if not g.startswith("NIL")}
+        if linked:
+            if c["entity_id"] in linked:
+                tp += 1
+            elif c["entity_id"]:
+                fp += 1
+                fn += 1
+            else:
+                fn += 1
+        elif c["entity_id"]:
+            false_alarm += 1
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "false_alarms": false_alarm}

@@ -1,0 +1,215 @@
+"""The flagship pipeline: documents → resolved, clustered entity mentions.
+
+Ray-Data restructuring of hamerkop's Pipeline.run (pipeline.py:117-165), per
+SURVEY.md §3.1:
+
+  read documents (doc_id, spans)
+    → map_batches(Stage1Chains)          stateless tasks, no shuffle
+        parse + preprocess + in-doc coref fused; spans never leave the stage
+    → map_batches(CandidateGeneration)   ACTOR POOL (holds the name index,
+        broadcast once via ray.put, built per actor in __init__)
+    → map_batches(EntityResolution)      ACTOR POOL (holds the KB dict;
+        batched vectorized edit distances)
+    → connected_components(chain→entity edges)   SHUFFLE (iterative
+        hash-partitioned min-label star contraction until fixpoint)
+    → cluster assignment                 broadcast of the (small) entity-node
+        label map — cluster_id = component label for linked chains, the
+        chain's own node id for NIL singletons
+    → explode to per-mention output rows (LoReHLT submission shape)
+
+Scale notes: the only all-to-all exchange is the clustering groupby over the
+match-edge table (one edge per LINKED chain — NIL chains never shuffle).
+The KB index is the broadcast small side; the documents table streams
+through stateless tasks with backpressure.  The wide ``spans`` column never
+enters any shuffle (dropped after Stage1Chains).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import ids
+from ..schemas import CHAINS
+from ..stages.blocking import CandidateGeneration, NameIndexData
+from ..stages.chains import Stage1Chains
+from ..stages.cluster import connected_components
+from ..stages.scoring import RESOLVED_CHAINS, EntityResolution
+
+DEFAULT_GEN_CONFIG = [("exact", "name"), ("ngram", "name")]
+FULL_GEN_CONFIG = [
+    ("exact", "name"),
+    ("exact", "translit"),
+    ("ngram", "name"),
+    ("metaphone", "name"),
+    ("lsh", "name"),
+]
+
+CLUSTERED_CHAINS = RESOLVED_CHAINS.append(pa.field("cluster_id", pa.string()))
+
+MENTION_OUTPUT = pa.schema(
+    [
+        ("mention_id", pa.string()),
+        ("doc_id", pa.string()),
+        ("chain_id", pa.string()),
+        ("mention_text", pa.string()),
+        ("char_start", pa.int32()),
+        ("char_stop", pa.int32()),
+        ("entity_type", pa.string()),
+        ("entity_id", pa.string()),  # '' = NIL
+        ("cluster_id", pa.string()),
+        ("method", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def run_flagship(
+    docs,
+    kb: pa.Table,
+    *,
+    gen_config=None,
+    resolvers=None,
+    sieve_stages=None,
+    maximum_candidates: int = 25,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 128,
+    do_cluster: bool = True,
+):
+    """docs: ray.data.Dataset of the documents table; kb: arrow KB table.
+
+    Returns a dict of datasets: chains (resolved [+ cluster_id]) and
+    mentions (per-mention output rows).
+    """
+    import ray
+
+    index_ref = ray.put(NameIndexData(kb))
+    kb_ref = ray.put({e["entity_id"]: e for e in kb.to_pylist()})
+
+    chains = docs.map_batches(
+        Stage1Chains(sieve_stages=sieve_stages),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    cands = chains.map_batches(
+        CandidateGeneration,
+        fn_constructor_kwargs=dict(
+            index=index_ref,
+            config=gen_config or DEFAULT_GEN_CONFIG,
+            maximum=maximum_candidates,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    resolved = cands.map_batches(
+        EntityResolution,
+        fn_constructor_kwargs=dict(kb=kb_ref, resolvers=resolvers),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    if not do_cluster:
+        clustered = resolved.map_batches(_singleton_clusters, batch_format="pyarrow")
+        return {"chains": clustered, "mentions": _explode(clustered)}
+
+    resolved = resolved.materialize()  # consumed twice: edges + assignment
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        linked = t.filter(pa.compute.not_equal(t["entity_id"], ""))
+        src = [
+            ids.node_id(d, c)
+            for d, c in zip(linked["doc_id"].to_pylist(), linked["chain_id"].to_pylist())
+        ]
+        dst = [ids.entity_node_id(e) for e in linked["entity_id"].to_pylist()]
+        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+
+    labels = connected_components(resolved.map_batches(to_edges, batch_format="pyarrow"))
+
+    # entity-node labels are the small side (≤ |KB|): broadcast them
+    entity_labels: dict[str, str] = {}
+    for batch in labels.iter_batches(batch_format="pyarrow"):
+        for node, label in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
+            if node.startswith("E\x1f"):
+                entity_labels[node[2:]] = label
+    labels_ref = ray.put(entity_labels)
+
+    class AssignClusters:
+        def __init__(self, ref):
+            self.labels = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for d, c, e in zip(
+                t["doc_id"].to_pylist(),
+                t["chain_id"].to_pylist(),
+                t["entity_id"].to_pylist(),
+            ):
+                if e and e in self.labels:
+                    out.append(self.labels[e])
+                elif e:
+                    out.append(ids.entity_node_id(e))
+                else:
+                    out.append(ids.node_id(d, c))  # NIL singleton
+            return t.append_column("cluster_id", pa.array(out, pa.string()))
+
+    clustered = resolved.map_batches(
+        AssignClusters,
+        fn_constructor_kwargs=dict(ref=labels_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return {"chains": clustered, "mentions": _explode(clustered)}
+
+
+def _singleton_clusters(t: pa.Table) -> pa.Table:
+    out = []
+    for d, c, e in zip(
+        t["doc_id"].to_pylist(), t["chain_id"].to_pylist(), t["entity_id"].to_pylist()
+    ):
+        out.append(ids.entity_node_id(e) if e else ids.node_id(d, c))
+    return t.append_column("cluster_id", pa.array(out, pa.string()))
+
+
+def _explode(clustered):
+    """Clustered chains → one output row per mention (OutputWriter shape,
+    io.py:286-297: each mention of a chain carries the chain's entity)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            for m in r["mentions"]:
+                rows.append(
+                    {
+                        "mention_id": m["mention_id"],
+                        "doc_id": r["doc_id"],
+                        "chain_id": r["chain_id"],
+                        "mention_text": m["surface"],
+                        "char_start": m["char_start"],
+                        "char_stop": m["char_stop"],
+                        "entity_type": m["entity_type"],
+                        "entity_id": r["entity_id"],
+                        "cluster_id": r["cluster_id"],
+                        "method": r["method"],
+                        "score": r["score"],
+                    }
+                )
+        if not rows:
+            return MENTION_OUTPUT.empty_table()
+        return pa.Table.from_pylist(rows, schema=MENTION_OUTPUT)
+
+    return clustered.map_batches(explode, batch_format="pyarrow")
+
+
+def flagship_table(docs_table: pa.Table, kb: pa.Table, **kwargs) -> pa.Table:
+    """Table-in/table-out convenience wrapper (tests, small corpora)."""
+    import ray.data as rd
+
+    out = run_flagship(rd.from_arrow(docs_table), kb, **kwargs)
+    return pa.concat_tables(
+        [b for b in out["mentions"].iter_batches(batch_format="pyarrow") if b.num_rows],
+        promote_options="default",
+    ) if out["mentions"].count() else MENTION_OUTPUT.empty_table()

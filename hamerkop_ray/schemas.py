@@ -131,7 +131,21 @@ KB = pa.schema(
     ]
 )
 
-# candidate pairs — blocking output: one row per (chain, candidate entity).
+# candidates — blocking output at chain granularity: the chain row plus its
+# ordered candidate list (reference chain.candidates, candidates.py:83-89).
+# Keeping candidates nested preserves per-row locality for the scoring stage
+# (no shuffle between blocking and scoring).
+CANDIDATE_TYPE = pa.struct(
+    [
+        ("entity_id", pa.string()),
+        ("rank", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+CANDIDATES = CHAINS.append(pa.field("candidates", pa.list_(CANDIDATE_TYPE)))
+
+# candidate pairs — exploded form: one row per (chain, candidate entity).
 PAIRS = pa.schema(
     [
         ("doc_id", pa.string()),

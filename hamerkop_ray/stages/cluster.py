@@ -1,0 +1,143 @@
+"""Stage 6 — transitive clustering: distributed connected components.
+
+The reference has NO cross-document clustering ("NIL clustering is not
+included", io.py:273-274); this is the graft's new stage (SURVEY.md §2.11):
+union-find expressed as iterative hash-partitioned min-label updates until
+fixpoint, per BASELINE.json north_rule.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — the standard shuffle-based
+union-find).  Each operation is one groupby(node) shuffle:
+
+  large-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u), v > u: emit (v, m)
+  small-star(u): m = min(Γ(u) ∪ {u}); for v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m: emit (v, m)
+
+(with Γ from the symmetrized edge list for large-star and the high→low
+directed list for small-star).  Converges in O(log n) rounds — unlike naive
+min-label flooding whose round count is the graph DIAMETER, which is what
+makes it viable for long chain-shaped components at scale.  At fixpoint the
+edge set is a star forest (v → root); labels follow directly.
+
+Fixpoint detection without driver materialization: an order-independent
+64-bit wrap-around checksum of the canonical edge set per round; two equal
+consecutive checksums ⇒ stable.
+
+Determinism: node ids are compared lexicographically, so every component's
+final label is its lexicographically smallest node id — independent of
+partitioning, execution order, and retries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ids import stable_hash64
+
+
+def _checksum(ds, cols: tuple[str, str]) -> int:
+    def partial(t: pa.Table) -> pa.Table:
+        acc = np.uint64(0)
+        a = t[cols[0]].to_pylist()
+        b = t[cols[1]].to_pylist()
+        for x, y in zip(a, b):
+            acc = acc + np.uint64(stable_hash64(f"{x}\x00{y}"))
+        return pa.table({"h": pa.array([int(acc)], pa.uint64())})
+
+    acc = np.uint64(0)
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in batch["h"].to_pylist():
+            acc = acc + np.uint64(v)
+    return int(acc)
+
+
+def _dedup_edges(t: pa.Table) -> pa.Table:
+    """Per-batch dedup of (src, dst) pairs; global dedup is unnecessary for
+    correctness (duplicate edges are idempotent), this just trims volume."""
+    df = pd.DataFrame({"src": t["src"].to_pylist(), "dst": t["dst"].to_pylist()})
+    df = df[df.src != df.dst].drop_duplicates()
+    return pa.table({"src": pa.array(df.src, pa.string()), "dst": pa.array(df.dst, pa.string())})
+
+
+def _large_star(edges):
+    def symmetrize(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        return pa.table(
+            {"node": pa.concat_arrays([src, dst]), "nbr": pa.concat_arrays([dst, src])}
+        )
+
+    def ls(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["node"].iloc[0]
+        nbrs = g["nbr"]
+        m = min(u, nbrs.min())
+        bigger = nbrs[nbrs > u].unique()
+        return pd.DataFrame({"src": bigger, "dst": [m] * len(bigger)})
+
+    return (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(ls, batch_format="pandas")
+        .map_batches(_dedup_edges, batch_format="pyarrow")
+    )
+
+
+def _small_star(edges):
+    def direct(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pylist()
+        dst = t["dst"].to_pylist()
+        hi = [max(a, b) for a, b in zip(src, dst)]
+        lo = [min(a, b) for a, b in zip(src, dst)]
+        return pa.table({"node": pa.array(hi, pa.string()), "nbr": pa.array(lo, pa.string())})
+
+    def ss(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["node"].iloc[0]
+        nbrs = list(g["nbr"].unique())
+        m = min([u] + nbrs)
+        targets = [v for v in set(nbrs + [u]) if v != m]
+        return pd.DataFrame({"src": targets, "dst": [m] * len(targets)})
+
+    return (
+        edges.map_batches(direct, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(ss, batch_format="pandas")
+        .map_batches(_dedup_edges, batch_format="pyarrow")
+    )
+
+
+def connected_components(edges, *, max_rounds: int = 30):
+    """edges: Dataset with string columns (src, dst) → Dataset (node, label).
+
+    Isolated nodes (no edges) are their own components by definition and need
+    not be passed in.
+    """
+    from ray.data.aggregate import Min
+
+    cur = edges.map_batches(_dedup_edges, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).materialize()
+        s = _checksum(cur, ("src", "dst"))
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    # star forest: every edge is (member, root); roots label themselves
+    def to_labels(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([src, dst]),
+                "label": pa.concat_arrays([dst, dst]),
+            }
+        )
+
+    return (
+        cur.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )

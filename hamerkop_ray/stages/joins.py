@@ -1,0 +1,172 @@
+"""Join / skew primitives: broadcast semi-joins and salted hash joins.
+
+The reference's joins are all in-process dict lookups ("broadcast hash joins"
+— name index kb.py:148-190, GT dicts, acronym maps; SURVEY.md §2.11).  At
+cluster scale the rules are:
+
+  * small side (KB index, blocklists, label maps)  → broadcast_lookup:
+    ray.put once on the driver, materialize per ACTOR in __init__, probe per
+    batch.  No shuffle; the big side streams.
+  * both sides large                               → Dataset.join (Ray's
+    hash-partitioned shuffle join) — but ONLY after skew is handled:
+    hot_keys() finds keys above a frequency threshold with a cheap
+    pre-aggregation; salt_column() splits those keys into `key#i` shards on
+    the big side while replicate_hot() replicates the matching small-side
+    rows across all shards.  Unsalted hot keys turn one reducer into a
+    straggler; this is the explicit skew handling BASELINE.json north_rule
+    demands (Zipfian surface forms like country names).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..ids import stable_hash64
+
+
+def hot_keys(ds, key: str, threshold: int) -> set[str]:
+    """Keys whose global frequency exceeds `threshold`.
+
+    Cheap two-level count: per-batch partial counts (map_batches, no shuffle
+    of raw rows) → small groupby over the partials.  The result is a driver-
+    side set — hot keys are by definition few.
+    """
+    import pyarrow as _pa
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        counts = t.group_by(key).aggregate([(key, "count")])
+        return counts.rename_columns([key, "cnt"])
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="total"))
+    hot = totals.filter(expr=f"total > {int(threshold)}") if hasattr(totals, "filter") else totals
+    out = set()
+    for batch in hot.iter_batches(batch_format="pyarrow"):
+        for k, tot in zip(batch[key].to_pylist(), batch["total"].to_pylist()):
+            if tot > threshold:
+                out.add(k)
+    return out
+
+
+def salt_column(ds, key: str, hot: set[str], shards: int, out_col: str | None = None):
+    """Big-side salting: hot keys become 'key#<h%shards>' (h = content hash of
+    the whole row's key + a per-row disambiguator column if given), cold keys
+    pass through.  Deterministic — no RNG."""
+    out_col = out_col or key + "_salted"
+    hot_arr = sorted(hot)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        keys = t[key].to_pylist()
+        salted = []
+        for i, k in enumerate(keys):
+            if k in hot:
+                salted.append(f"{k}#{stable_hash64(f'{k}:{i}') % shards}")
+            else:
+                salted.append(k)
+        return t.append_column(out_col, pa.array(salted, pa.string()))
+
+    _ = hot_arr
+    return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def replicate_hot(ds, key: str, hot: set[str], shards: int, out_col: str | None = None):
+    """Small-side replication: each hot-key row is emitted `shards` times with
+    'key#i' so every big-side salt shard finds its match; cold rows once."""
+    out_col = out_col or key + "_salted"
+
+    def rep(t: pa.Table) -> pa.Table:
+        tables = []
+        keys = t[key].to_pylist()
+        cold_mask = pa.array([k not in hot for k in keys])
+        cold = t.filter(cold_mask)
+        tables.append(cold.append_column(out_col, pc.cast(cold[key], pa.string())))
+        hot_rows = t.filter(pc.invert(cold_mask))
+        for s in range(shards):
+            salted = [f"{k}#{s}" for k in hot_rows[key].to_pylist()]
+            tables.append(hot_rows.append_column(out_col, pa.array(salted, pa.string())))
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def salted_inner_join(
+    left,
+    right,
+    key: str,
+    *,
+    num_partitions: int,
+    hot_threshold: int | None = None,
+    shards: int = 8,
+):
+    """Inner join with optional hot-key salting.
+
+    left = big/probe side (salted), right = smaller build side (replicated).
+    Falls back to a plain Dataset.join when hot_threshold is None or no key
+    crosses it.
+    """
+    if hot_threshold is not None:
+        hot = hot_keys(left, key, hot_threshold)
+    else:
+        hot = set()
+    if not hot:
+        return left.join(
+            right,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(key,),
+            validate_schemas=False,
+        )
+    sk = key + "_salted"
+    left_s = salt_column(left, key, hot, shards, sk)
+    right_s = replicate_hot(right.drop_columns([key]) if False else right, key, hot, shards, sk)
+    # drop the duplicate raw key on the right to avoid collision after join
+    right_s = right_s.drop_columns([key])
+    return left_s.join(
+        right_s,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(sk,),
+        validate_schemas=False,
+    ).drop_columns([sk])
+
+
+class BroadcastLookup:
+    """Actor-pool map_batches helper: hold a broadcast dict once per actor and
+    append a looked-up column per batch (the 'small side broadcast' join)."""
+
+    def __init__(self, mapping_ref, key: str, out_col: str, default=""):
+        import ray
+
+        self.mapping = (
+            ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
+        )
+        self.key = key
+        self.out_col = out_col
+        self.default = default
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vals = [self.mapping.get(k, self.default) for k in t[self.key].to_pylist()]
+        return t.append_column(self.out_col, pa.array(vals))
+
+
+def approx_topk(ds, key: str, k: int, per_batch_cap: int = 4 * 1024):
+    """Exact global top-k by count of `key` via partial per-batch counts →
+    one small groupby → driver-side top-k (never materializes raw rows)."""
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.group_by(key).aggregate([(key, "count")])
+        counts = counts.rename_columns([key, "cnt"])
+        if counts.num_rows > per_batch_cap:
+            idx = pc.select_k_unstable(counts, k=per_batch_cap, sort_keys=[("cnt", "descending")])
+            counts = counts.take(idx)
+        return counts
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="total"))
+    rows = totals.sort("total", descending=True).take(k)
+    return [(r[key], r["total"]) for r in rows]

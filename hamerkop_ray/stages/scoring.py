@@ -1,0 +1,342 @@
+"""Stage 5 — pairwise scoring + resolution: candidates → resolved chains.
+
+Reference semantics (resolver.py:140-343): a cascade of resolvers runs per
+chain; each may select the linked entity, prune the candidate list for later
+resolvers, or pass.  Unresolved chains are NIL.
+
+Dataflow shape: the candidates table is per-row complete (chain + its
+candidate ids), so resolution is one actor-pool map_batches — the actor holds
+the KB dict (broadcast once via ray.put, materialized per actor in __init__)
+and, where configured, model weights.  Edit distances for the WHOLE batch are
+computed in one vectorized call (functions.editdist) instead of the
+reference's per-pair Python loop.
+
+Pairwise features (features.py:58-204) are computed per (chain, candidate)
+and exposed both to the rule resolvers and to the linear scorer
+(SvmResolver analog — sklearn isn't vendored here, so the trained model is a
+plain weight vector; decision_function = w·x + b, same argmax/all-negative
+semantics, resolver.py:333-343).
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.editdist import jaro_winkler_batch, normalized_levenshtein_batch
+from ..schemas import CANDIDATES, CHAINS
+
+RESOLVED_CHAINS = CHAINS.append(pa.field("entity_id", pa.string())) \
+                        .append(pa.field("score", pa.float64())) \
+                        .append(pa.field("method", pa.string()))
+
+
+def wikipedia_link(name: str) -> str:
+    """resolver.py:299-303."""
+    s = name.replace(" ", "_").replace("’", "'")
+    return "http://en.wikipedia.org/wiki/" + urllib.parse.quote(s)
+
+
+# ---------------------------------------------------------------------------
+# pairwise features (features.py:69-204) — plain floats per (chain, entity)
+# ---------------------------------------------------------------------------
+
+
+def feature_vector(chain: dict, entity: dict, lev_norm: float) -> np.ndarray:
+    """Ordered features; lev_norm precomputed by the batched kernel."""
+    names_ci = {n.lower() for n in chain["all_strings"]}
+    ent_names_ci = {n.lower() for n in entity["names"]}
+    chain_name = chain["name"]
+
+    # OriginFeature (features.py:69-82): 1 for GEO/AUG, 0 for APB/WLL
+    origin = entity.get("origin", "")
+    f_origin = 1.0 if (origin == "GEO" or origin.startswith("AUG")) else 0.0
+    # NumberOfNamesFeature (features.py:110-116)
+    f_nnames = 1.0 - 1.0 / (1 + len(entity["names"]))
+    # NumberOfLinksFeature (features.py:119-125)
+    f_nlinks = 1.0 - 1.0 / (1 + len(entity.get("urls", [])))
+    # ExactMatchFeature (features.py:144-153)
+    f_exact = 1.0 if names_ci & ent_names_ci else 0.0
+    # WikipediaFeature (features.py:128-141)
+    links = {wikipedia_link(s).lower() for s in chain["names"]}
+    f_wiki = 1.0 if links & {u.lower() for u in entity.get("urls", [])} else 0.0
+    # SharedTokensFeature (features.py:156-171): max over entity names of
+    # |shared tokens| / |chain-name tokens|
+    ctoks = set(chain_name.lower().split())
+    f_shared = 0.0
+    if ctoks:
+        for n in entity["names"]:
+            ntoks = set(n.lower().split())
+            f_shared = max(f_shared, len(ctoks & ntoks) / len(ctoks))
+    # LastNameFeature (features.py:174-188): multi-token names share last token
+    f_last = 0.0
+    cn = chain_name.lower().split()
+    for n in entity["names"]:
+        en = n.lower().split()
+        if len(cn) > 1 and len(en) > 1 and cn[-1] == en[-1]:
+            f_last = 1.0
+            break
+    # LevenshteinFeature (features.py:191-204): min normalized edit distance
+    return np.array(
+        [f_origin, f_nnames, f_nlinks, f_exact, f_wiki, f_shared, f_last, lev_norm]
+    )
+
+
+FEATURE_NAMES = [
+    "origin", "n_names", "n_links", "exact", "wiki", "shared_tokens",
+    "last_name", "lev_norm",
+]
+
+
+# ---------------------------------------------------------------------------
+# resolvers — each: (chain, cands: list[dict], ctx) -> (entity|None, cands)
+# ctx carries precomputed per-(chain,candidate) values keyed by entity_id
+# ---------------------------------------------------------------------------
+
+
+class ExactNameResolver:
+    """CI name-set intersection (resolver.py:253-272): exactly one match →
+    select; several → prune candidates to the matches; none → pass.
+    Uses chain.names (norm strings only, not translit/translate)."""
+
+    name = "exact"
+
+    def __call__(self, chain, cands, ctx):
+        names = {n.lower() for n in chain["names"]}
+        matches = [e for e in cands if names & {n.lower() for n in e["names"]}]
+        if len(matches) == 1:
+            return matches[0], cands
+        if matches:
+            return None, matches
+        return None, cands
+
+
+class WikipediaResolver:
+    """Wiki-url intersection (resolver.py:275-303); same 1/many/0 logic."""
+
+    name = "wiki"
+
+    def __call__(self, chain, cands, ctx):
+        links = {wikipedia_link(s).lower() for s in chain["names"]}
+        matches = [
+            e for e in cands if links & {u.lower() for u in e.get("urls", [])}
+        ]
+        if len(matches) == 1:
+            return matches[0], cands
+        if matches:
+            return None, matches
+        return None, cands
+
+
+class EditDistanceResolver:
+    """Min normalized Levenshtein over chain strings × entity names; select
+    the best candidate when distance < threshold (resolver.py:306-322)."""
+
+    name = "editdist"
+
+    def __init__(self, threshold: float = 0.1):
+        self.threshold = threshold
+
+    def __call__(self, chain, cands, ctx):
+        lev = ctx["lev"]
+        best, best_d = None, float("inf")
+        for e in cands:
+            d = lev.get(e["entity_id"], float("inf"))
+            if d < best_d:
+                best_d = d
+                best = e
+        if best is not None and best_d < self.threshold:
+            return best, cands
+        return None, cands
+
+
+class JaroWinklerResolver:
+    """Scale-path analog of EditDistanceResolver using Jaro-Winkler
+    similarity (north_star's batched JW scorer; no reference counterpart)."""
+
+    name = "jaro_winkler"
+
+    def __init__(self, threshold: float = 0.94):
+        self.threshold = threshold
+
+    def __call__(self, chain, cands, ctx):
+        jw = ctx["jw"]
+        best, best_s = None, -1.0
+        for e in cands:
+            s = jw.get(e["entity_id"], -1.0)
+            if s > best_s:
+                best_s = s
+                best = e
+        if best is not None and best_s >= self.threshold:
+            return best, cands
+        return None, cands
+
+
+class FirstResolver:
+    """Pick candidates[0] (resolver.py:245-250) — candidate order is the
+    generation rank carried from blocking."""
+
+    name = "first"
+
+    def __call__(self, chain, cands, ctx):
+        return (cands[0], cands) if cands else (None, cands)
+
+
+class LinearResolver:
+    """SvmResolver analog (resolver.py:325-343): score = w·features + b per
+    candidate; if all scores < 0 pass, else argmax."""
+
+    name = "linear"
+
+    def __init__(self, weights, bias: float = 0.0):
+        self.w = np.asarray(weights, dtype=np.float64)
+        self.b = float(bias)
+
+    def __call__(self, chain, cands, ctx):
+        if not cands:
+            return None, cands
+        feats = ctx["features"]
+        scores = np.array(
+            [float(self.w @ feats[e["entity_id"]] + self.b) for e in cands]
+        )
+        if (scores < 0).all():
+            return None, cands
+        return cands[int(np.argmax(scores))], cands
+
+
+class TypeSpecificResolver:
+    """Gate on chain entity type (resolver.py:229-242)."""
+
+    def __init__(self, inner, *types):
+        self.inner = inner
+        self.types = set(types)
+        self.name = inner.name
+
+    def __call__(self, chain, cands, ctx):
+        if chain["entity_type"] in self.types:
+            return self.inner(chain, cands, ctx)
+        return None, cands
+
+
+class LanguageSpecificResolver:
+    """Gate on document language (resolver.py:216-226)."""
+
+    def __init__(self, inner, *langs):
+        self.inner = inner
+        self.langs = set(langs)
+        self.name = inner.name
+
+    def __call__(self, chain, cands, ctx):
+        if chain["lang"] in self.langs:
+            return self.inner(chain, cands, ctx)
+        return None, cands
+
+
+def default_cascade() -> list:
+    return [ExactNameResolver(), WikipediaResolver(), EditDistanceResolver(0.1)]
+
+
+# ---------------------------------------------------------------------------
+# the stage
+# ---------------------------------------------------------------------------
+
+
+class EntityResolution:
+    """Actor-pool stage: candidates batch → resolved batch.
+
+    __init__ materializes the broadcast KB dict once per actor; __call__
+    computes batch-level vectorized distances, then runs the per-chain
+    cascade (CascadeResolver semantics, resolver.py:192-213: resolved chains
+    drop out; candidate pruning carries forward between resolvers).
+    """
+
+    def __init__(self, kb, resolvers: list | None = None, need_jw: bool = False):
+        try:
+            import ray
+
+            if isinstance(kb, ray.ObjectRef):
+                kb = ray.get(kb)
+        except ImportError:
+            pass
+        if isinstance(kb, pa.Table):
+            kb = {e["entity_id"]: e for e in kb.to_pylist()}
+        self.kb: dict[str, dict] = kb
+        self.resolvers = resolvers if resolvers is not None else default_cascade()
+        self.need_features = any(isinstance(r, LinearResolver) or
+                                 isinstance(getattr(r, "inner", None), LinearResolver)
+                                 for r in self.resolvers)
+        self.need_jw = need_jw or any(
+            isinstance(r, JaroWinklerResolver)
+            or isinstance(getattr(r, "inner", None), JaroWinklerResolver)
+            for r in self.resolvers
+        )
+
+    def _batch_distances(self, rows: list[dict]):
+        """One vectorized kernel call for every (chain-string, entity-name)
+        pair in the batch; reduced to per-(chain, candidate) minima."""
+        a: list[str] = []
+        b: list[str] = []
+        owner: list[tuple[int, str]] = []
+        for ci, row in enumerate(rows):
+            strings = {s.lower() for s in row["all_strings"]}
+            for cand in row["candidates"]:
+                e = self.kb.get(cand["entity_id"])
+                if e is None:
+                    continue
+                for x in strings:
+                    for y in {n.lower() for n in e["names"]}:
+                        a.append(x)
+                        b.append(y)
+                        owner.append((ci, e["entity_id"]))
+        lev = normalized_levenshtein_batch(a, b) if a else np.zeros(0)
+        jw = jaro_winkler_batch(a, b) if (a and self.need_jw) else None
+        lev_min: list[dict[str, float]] = [dict() for _ in rows]
+        jw_max: list[dict[str, float]] = [dict() for _ in rows]
+        for k, (ci, eid) in enumerate(owner):
+            d = float(lev[k])
+            cur = lev_min[ci].get(eid)
+            if cur is None or d < cur:
+                lev_min[ci][eid] = d
+            if jw is not None:
+                s = float(jw[k])
+                curj = jw_max[ci].get(eid)
+                if curj is None or s > curj:
+                    jw_max[ci][eid] = s
+        return lev_min, jw_max
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        lev_min, jw_max = self._batch_distances(rows)
+        out = []
+        for ci, row in enumerate(rows):
+            cands = [
+                self.kb[c["entity_id"]]
+                for c in row["candidates"]
+                if c["entity_id"] in self.kb
+            ]
+            ctx = {"lev": lev_min[ci], "jw": jw_max[ci]}
+            if self.need_features:
+                ctx["features"] = {
+                    e["entity_id"]: feature_vector(
+                        row, e, lev_min[ci].get(e["entity_id"], 1.0)
+                    )
+                    for e in cands
+                }
+            entity, method, score = "", "", 0.0
+            for resolver in self.resolvers:
+                picked, cands = resolver(row, cands, ctx)
+                if picked is not None:
+                    entity = picked["entity_id"]
+                    method = resolver.name
+                    score = 1.0 - ctx["lev"].get(entity, 0.0)
+                    break
+            rec = {k: row[k] for k in CHAINS.names}
+            rec["entity_id"] = entity
+            rec["score"] = score
+            rec["method"] = method
+            out.append(rec)
+        if not out:
+            return RESOLVED_CHAINS.empty_table()
+        return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)

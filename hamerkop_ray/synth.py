@@ -294,6 +294,41 @@ def synth_documents(
     return docs, links
 
 
+class SynthDocsFromText:
+    """map_batches callable: testdata documents (doc_id:int64, text) → span
+    documents (schemas.DOCUMENTS).  Deterministic per row, so any partitioning
+    of the base table yields identical output rows.  The KB table is shipped
+    via ray.put and materialized once per actor."""
+
+    def __init__(self, kb_ref, seed: int = 42, nil_rate: float = 0.15):
+        try:
+            import ray
+
+            if isinstance(kb_ref, ray.ObjectRef):
+                kb_ref = ray.get(kb_ref)
+        except ImportError:
+            pass
+        self.kb = kb_ref
+        self.seed = seed
+        self.nil_rate = nil_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_ = [int(x) for x in batch["doc_id"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        docs, _links = synth_documents(ids_, texts, self.kb, self.seed, self.nil_rate)
+        return docs
+
+
+class SynthLinksFromText(SynthDocsFromText):
+    """Same derivation, emitting the ground-truth links table instead."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_ = [int(x) for x in batch["doc_id"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        _docs, links = synth_documents(ids_, texts, self.kb, self.seed, self.nil_rate)
+        return links
+
+
 def synth_world(n_docs: int = 200, n_entities: int = 400, seed: int = 42):
     """Self-contained world (no testdata dependency) for unit tests."""
     kb = make_kb(n_entities, seed)

@@ -1,0 +1,80 @@
+"""Golden metric oracles (reference tests/test_coref.py values) + pairwise F1."""
+
+from hamerkop_ray.pipelines.evaluate import (
+    AdditiveScorer,
+    b3,
+    blocking_pairs,
+    muc,
+    pairwise_f1,
+)
+
+
+def _mention_map(clusters):
+    out = {}
+    for i, c in enumerate(clusters):
+        for m in c:
+            out[m] = f"C{i + 1}"
+    return out
+
+
+def test_muc_vilain_table1():
+    """Vilain'95 table 1 golden: R = 2/3, P = 2/2 (reference
+    tests/test_coref.py:56-83)."""
+    gt = [["A", "B", "C", "D"]]
+    pred = [["A", "B"], ["C", "D"]]
+    # recall direction: metric(gt clusters, predicted mention map)
+    r_num, r_den = muc(gt, _mention_map(pred))
+    assert (r_num, r_den) == (2, 3)
+    p_num, p_den = muc(pred, _mention_map(gt))
+    assert (p_num, p_den) == (2, 2)
+
+
+def test_b3_reference_example():
+    """Two-chain example: B³ precision ≈ 0.76 (reference
+    tests/test_coref.py:125-140)."""
+    gt = [["1", "2", "3", "4", "5"], ["6", "7"], ["8", "9", "A", "B", "C"]]
+    pred = [["1", "2", "3", "4", "5", "6", "7"], ["8", "9", "A", "B", "C"]]
+    p_num, p_den = b3(pred, _mention_map(gt))
+    assert abs(p_num / p_den - 0.7619047619047619) < 1e-9
+
+
+def test_additive_scorer_matches_single_shot():
+    gt_docs = [
+        [["a1", "a2"], ["a3"]],
+        [["b1", "b2", "b3"]],
+    ]
+    pred_docs = [
+        [["a1", "a2", "a3"]],
+        [["b1", "b2"], ["b3"]],
+    ]
+    s = AdditiveScorer(metric=muc)
+    for pred, gt in zip(pred_docs, gt_docs):
+        s.update(pred, gt)
+    s2a = AdditiveScorer(metric=muc)
+    s2a.update(pred_docs[0], gt_docs[0])
+    s2b = AdditiveScorer(metric=muc)
+    s2b.update(pred_docs[1], gt_docs[1])
+    s2a.merge(s2b)
+    assert (s.precision, s.recall, s.f1) == (s2a.precision, s2a.recall, s2a.f1)
+
+
+def test_pairwise_f1_perfect_and_degraded():
+    pairs = {("m1", "m2"), ("m1", "m3"), ("m2", "m3"), ("m3", "m4")}
+    gold = {"m1": "E1", "m2": "E1", "m3": "E2", "m4": "E2"}
+    assert pairwise_f1(gold, gold, pairs)["f1"] == 1.0
+    pred = {"m1": "X", "m2": "Y", "m3": "Z", "m4": "Z"}
+    out = pairwise_f1(pred, gold, pairs)
+    assert out["fn"] == 1 and out["tp"] == 1  # m1-m2 missed, m3-m4 kept
+    assert out["f1"] < 1.0
+
+
+def test_blocking_pairs_share_band_key():
+    surfaces = {
+        "m1": "National United Council",
+        "m2": "National Unted Council",  # near-dup → shares bands
+        "m3": "Zqx Wvb",  # unrelated
+    }
+    types = {"m1": "ORG", "m2": "ORG", "m3": "ORG"}
+    pairs = blocking_pairs(surfaces, types)
+    assert ("m1", "m2") in pairs
+    assert ("m1", "m3") not in pairs and ("m3", "m1") not in pairs
