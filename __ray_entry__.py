@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() via DuckDB.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE importing this module — nothing here
+(or in hamerkop_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() covers SURVEY.md §2 operator families over the driver testdata:
+relational (scan/filter/project/groupby/join/sort/topk), stream-shaped
+windowed aggregates, text analysis (token counts, quality, language id,
+fingerprints), deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+edit-distance pair mining), embedding similarity search (exact + IVF), and
+the flagship entity-resolution pipeline over span-documents deterministically
+derived from the testdata documents table (BASELINE.json input_hint shape).
+Queries without an oracle_sql entry are non-SQL-expressible (noted inline).
 """
 
 from __future__ import annotations
@@ -18,27 +18,379 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+from hamerkop_ray.pipelines import relational as rel
+
+_KB_CACHE: dict[tuple[int, int], Any] = {}
+
+
+def _kb(n_entities: int = 400, seed: int = 42):
+    key = (n_entities, seed)
+    if key not in _KB_CACHE:
+        from hamerkop_ray.synth import make_kb
+
+        _KB_CACHE[key] = make_kb(n_entities, seed)
+    return _KB_CACHE[key]
+
+
+def _span_docs(sf_dir: str):
+    """Deterministically derive the interleaved span-documents table
+    (doc_id, spans) from the testdata documents table."""
+    import ray
+    import ray.data as rd
+
+    from hamerkop_ray.synth import SynthDocsFromText
+
+    kb_ref = ray.put(_kb())
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return base.map_batches(
+        SynthDocsFromText,
+        fn_constructor_kwargs=dict(kb_ref=kb_ref),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline on sf0.001: span-docs → chains → candidates →
+    resolution → transitive clustering → per-mention output rows."""
+    from hamerkop_ray.pipelines.flagship import run_flagship
+
+    docs = _span_docs("/root/testdata/sf0.001")
+    out = run_flagship(docs, _kb(), gen_config=None, concurrency=(1, 4))
+    return out["mentions"]
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _doc_stats(sf_dir: str):
+    import pandas as pd
+
+    from hamerkop_ray.functions import textstats
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_tokens": textstats.whitespace_token_count(df["text"]),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def _doc_quality(sf_dir: str):
+    from hamerkop_ray.pipelines.text import quality
+
+    return quality(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _doc_langid(sf_dir: str):
+    from hamerkop_ray.pipelines.text import lang_id
+
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]), concurrency=2)
+
+
+def _doc_fingerprints(sf_dir: str):
+    from hamerkop_ray.pipelines.text import fingerprints
+
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _dedup_exact(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _dedup_minhash(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+def _dedup_simhash(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]), max_hamming=6)
+
+
+def _ngram_jaccard(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+def _emb_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.35)
+
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _ann_queries(sf_dir: str):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.to_pylist()
+        if r["vec_id"] in _ANN_QUERY_IDS
+    }
+    ids = sorted(rows)
+    return ids, [rows[i] for i in ids]
+
+
+def _ann_topk(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.ann import brute_force_topk
+
+    ids, vecs = _ann_queries(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, ids, vecs, k=8, concurrency=2).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def _ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.ann import ivf_topk, kmeans_lite
+    import numpy as np
+
+    ids, vecs = _ann_queries(sf_dir)
+    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack([np.asarray(v) for v in emb_tbl["embedding"].to_pylist()[:256]])
+    cents = kmeans_lite(sample, n_clusters=8)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, ids, vecs, k=8, centroids=cents, nprobe=3, concurrency=2).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+def _emb_norms(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        norms = df["embedding"].map(
+            lambda v: round(float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))), 4)
+        )
+        return pd.DataFrame({"vec_id": df["vec_id"], "l2_norm": norms})
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def _emb_centroid_stats(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for label, g in df.groupby("label"):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+            out.append(
+                {
+                    "label": int(label),
+                    "n": len(g),
+                    "s0": m[:, 0].sum(),
+                    "s1": m[:, 1].sum(),
+                    "s2": m[:, 2].sum(),
+                    "s3": m[:, 3].sum(),
+                }
+            )
+        return pd.DataFrame(out)
+
+    from ray.data.aggregate import Sum
+
+    parts = rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = parts.groupby("label").aggregate(
+        Sum("n", alias_name="n_vectors"),
+        Sum("s0", alias_name="s0"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+        Sum("s3", alias_name="s3"),
+    )
+    df = agg.to_pandas()
+    for i in range(4):
+        df[f"d{i}_mean"] = (df[f"s{i}"] / df["n_vectors"]).round(4)
+    return df[["label", "n_vectors", "d0_mean", "d1_mean", "d2_mean", "d3_mean"]]
+
+
+def _similar_customer_names(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+
+    from hamerkop_ray.functions.editdist import levenshtein_batch
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("c_custkey")
+        keys = g["c_custkey"].tolist()
+        names = g["c_name"].tolist()
+        ia, ib = [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                ia.append(i)
+                ib.append(j)
+        if not ia:
+            return pd.DataFrame({"custkey_a": [], "custkey_b": [], "dist": []})
+        d = levenshtein_batch([names[i] for i in ia], [names[j] for j in ib])
+        out = pd.DataFrame(
+            {
+                "custkey_a": [keys[i] for i in ia],
+                "custkey_b": [keys[j] for j in ib],
+                "dist": d,
+            }
+        )
+        return out[out["dist"] <= 2]
+
+    return cust.groupby("c_nationkey").map_groups(pairs, batch_format="pandas")
+
+
+def _er_resolved(sf_dir: str):
+    from hamerkop_ray.pipelines.flagship import run_flagship
+
+    docs = _span_docs(sf_dir)
+    return run_flagship(docs, _kb(), concurrency=(1, 4))["mentions"]
+
+
+def _er_chains(sf_dir: str):
+    from hamerkop_ray.stages.chains import Stage1Chains
+
+    return _span_docs(sf_dir).map_batches(
+        Stage1Chains(), batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "chain_id", "name", "entity_type", "lang", "doc_type", "n_mentions"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_revenue_orders": rel.q3_top_revenue_orders,
+        "q5_revenue_by_nation": rel.q5_revenue_by_nation,
+        "orders_by_priority": rel.orders_by_priority,
+        "events_hourly": rel.events_hourly,
+        "top_users_by_value": rel.top_users_by_value,
+        "part_brand_stats": rel.part_brand_stats,
+        "supplier_balance_by_nation": rel.supplier_balance_by_nation,
+        "lineitem_filter_agg": rel.lineitem_filter_agg,
+        "customer_order_counts": rel.customer_order_counts,
+        # text analysis
+        "doc_stats": _doc_stats,
+        "doc_quality": _doc_quality,  # no SQL oracle (heuristic features)
+        "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
+        "doc_fingerprints": _doc_fingerprints,  # no SQL oracle (rolling hash)
+        # dedup
+        "dedup_exact_docs": _dedup_exact,
+        "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
+        "dedup_simhash_docs": _dedup_simhash,  # no SQL oracle
+        "ngram_jaccard_pairs": _ngram_jaccard,  # no SQL oracle (LSH-bucketed)
+        "similar_customer_names": _similar_customer_names,
+        "embedding_neardup_pairs": _emb_neardup,
+        # similarity search
+        "ann_topk_bruteforce": _ann_topk,
+        "ann_topk_ivf": _ann_ivf,  # no SQL oracle (approximate)
+        "embedding_norms": _emb_norms,
+        "embedding_centroid_stats": _emb_centroid_stats,
+        # entity resolution (non-SQL-expressible: multi-stage record linkage)
+        "er_resolved_mentions": _er_resolved,
+        "er_chains": _er_chains,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_revenue_orders": rel.Q3_SQL,
+        "q5_revenue_by_nation": rel.Q5_SQL,
+        "orders_by_priority": rel.ORDERS_BY_PRIORITY_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "top_users_by_value": rel.TOP_USERS_SQL,
+        "part_brand_stats": rel.PART_BRAND_SQL,
+        "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
+        "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,
+        "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
+        "doc_stats": """
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "dedup_exact_docs": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "similar_customer_names": """
+            SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+                   LEVENSHTEIN(a.c_name, b.c_name) AS dist
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 2
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id IN (0, 1, 2, 3, 4)
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       LIST_COSINE_SIMILARITY(CAST(q.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+                SELECT query_id, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos, 4) AS cosine
+            FROM ranked WHERE rn <= 8
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "embedding_centroid_stats": """
+            SELECT label, COUNT(*) AS n_vectors,
+                   ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS d0_mean,
+                   ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS d1_mean,
+                   ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 4) AS d2_mean,
+                   ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 4) AS d3_mean
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,151 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32) on
+the same input and reports both throughputs + scaling efficiency
+(BASELINE.md protocol — the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset (or pass through table/df) and return rows."""
+    try:
+        import ray.data as rd
+
+        if isinstance(ds, rd.Dataset):
+            n = 0
+            for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+                n += batch.num_rows
+            return n
+    except ImportError:
+        pass
+    return len(ds)
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    for t in ["documents", "lineitem", "orders", "customer", "events", "embeddings"]:
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    qtimes: dict[str, float] = {}
+    qs = em.queries()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        rows = _consume(fn(sf_dir))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        return rows
+
+    # headline: the flagship ER pipeline end-to-end (docs → clustered mentions)
+    n_mentions = timed("er_flagship", qs["er_resolved_mentions"])
+
+    for name in [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_revenue_by_nation",
+        "events_hourly",
+        "customer_order_counts",
+        "doc_stats",
+        "doc_langid",
+        "dedup_exact_docs",
+        "dedup_minhash_docs",
+        "ngram_jaccard_pairs",
+        "ann_topk_bruteforce",
+        "embedding_neardup_pairs",
+    ]:
+        timed(name, qs[name])
+
+    headline = qtimes["er_flagship"]
+    result = {
+        "metric": "er_flagship_sec_sf0.1" if "sf0.1" in sf_dir else "er_flagship_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_mention_rows": n_mentions,
+        "docs_per_sec": round(n_docs / headline, 2) if headline else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline pipeline in fresh processes at 8 and 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    # efficiency = (T_N * N) / (T_4N * 4N): 1.0 = perfectly linear
+    eff = (t_lo * lo_cpus) / (t_hi * hi_cpus) if t_hi else None
+    return {
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": hi_cpus,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3) if eff else None,
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,394 @@
+"""Relational pipelines over the TPC-H-ish testdata tables, Ray-Data-first.
+
+Each query function takes sf_dir and returns a Dataset/table; ORACLE_SQL maps
+each name to the equivalent DuckDB SQL (same column names via AS aliases —
+required by the driver's order-insensitive value-hash compare).
+
+Design rules applied throughout (SURVEY.md §4 / the Ray guide):
+  * column pruning at the read (`columns=[...]`);
+  * vectorized pyarrow.compute kernels inside map_batches;
+  * small dimensions (region/nation/filtered customer keys) broadcast as
+    python dicts/sets — no shuffle;
+  * large-large joins via Dataset.join (hash-partitioned);
+  * float aggregates rounded identically on both sides to make the
+    value-hash robust to summation order.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.round(t[c], ndigits=nd))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: grouped pricing summary of shipped lineitems."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pa.array(["1998-09-01"]).cast(pa.timestamp("us"))[0].as_py())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(
+        out,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_disc": 4},
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3 shape: top-10 BUILDING-segment orders by revenue.
+    customer keys broadcast (semi-join), orders ⋈ lineitem via hash join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class FilterByCust:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys for k in t["o_custkey"].to_pylist()])
+            return t.filter(mask).select(["o_orderkey"])
+
+    orders_f = orders.map_batches(FilterByCust, batch_format="pyarrow", concurrency=2)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": disc})
+
+    li_r = li.map_batches(revenue, batch_format="pyarrow")
+    joined = li_r.join(
+        orders_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",), validate_schemas=False,
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    top = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return _round_cols(top, {"revenue": 2}).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "revenue"]), batch_format="pyarrow"
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape: revenue by ASIA nation.  region+nation are broadcast
+    dims; customer→nation map broadcast; orders ⋈ lineitem hash join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = set(
+        region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_pylist()
+    )
+    nmap = {
+        nk: nm
+        for nk, nm, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if rk in rkeys
+    }
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_nation = {
+        ck: nmap[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+        if nk in nmap
+    }
+    cn_ref = ray.put(cust_nation)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class OrderNation:
+        def __init__(self):
+            self.cn = ray.get(cn_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.cn.get(k) for k in t["o_custkey"].to_pylist()]
+            mask = pa.array([n is not None for n in names])
+            t = t.append_column("n_name", pa.array([n or "" for n in names]))
+            return t.filter(mask).select(["o_orderkey", "n_name"])
+
+    orders_n = orders.map_batches(OrderNation, batch_format="pyarrow", concurrency=2)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": disc})
+
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        orders_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",), validate_schemas=False,
+    )
+    out = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return _round_cols(out, {"revenue": 2})
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def orders_by_priority(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event type (stream-shaped workload as a
+    keyed batch aggregate — Ray guide 'streaming-shaped workloads')."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table(
+            {"event_type": t["event_type"], "hour_bucket": hour, "value": t["value"]}
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return _round_cols(out, {"total_value": 4})
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT)
+"""
+
+
+def top_users_by_value(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"), Count(alias_name="n_events")
+    )
+    top = agg.sort(["total_value", "user_id"], descending=[True, False]).limit(10)
+    return _round_cols(top, {"total_value": 4})
+
+
+TOP_USERS_SQL = """
+SELECT user_id, ROUND(SUM(value), 4) AS total_value, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY SUM(value) DESC, user_id
+LIMIT 10
+"""
+
+
+def part_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+
+    out = (
+        _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+    )
+    return _round_cols(out, {"avg_price": 4})
+
+
+PART_BRAND_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    nref = ray.put(nmap)
+
+    class AddNation:
+        def __init__(self):
+            self.nmap = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.nmap.get(k, "") for k in t["s_nationkey"].to_pylist()]
+            return pa.table({"n_name": pa.array(names), "s_acctbal": t["s_acctbal"]})
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers"))
+    )
+    return _round_cols(out, {"total_bal": 2})
+
+
+SUPPLIER_BAL_SQL = """
+SELECT n_name, ROUND(SUM(s_acctbal), 2) AS total_bal, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def lineitem_filter_agg(sf_dir: str):
+    """Predicate + scalar aggregate (read-level column pruning; the filter is
+    a vectorized batch kernel)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_extendedprice"]
+    )
+    lo = pa.array(["1997-01-01"]).cast(pa.timestamp("us"))[0].as_py()
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                pc.less_equal(t["l_discount"], pa.scalar(0.08)),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev": rev})
+
+    out = ds.map_batches(f, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_rows")
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        [{"revenue": round(out["revenue"], 2), "n_rows": out["n_rows"]}]
+    )
+
+
+LINEITEM_FILTER_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.02 AND 0.08
+"""
+
+
+def customer_order_counts(sf_dir: str):
+    """customer ⋈ orders via Dataset.join (both sides scale with sf)."""
+    from ray.data.aggregate import Count
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",), validate_schemas=False,
+    )
+    return joined.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+"""

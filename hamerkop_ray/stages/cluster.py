@@ -36,22 +36,25 @@ import pyarrow as pa
 from ..ids import stable_hash64
 
 
+_U64 = (1 << 64) - 1
+
+
 def _checksum(ds, cols: tuple[str, str]) -> int:
     def partial(t: pa.Table) -> pa.Table:
-        acc = np.uint64(0)
+        acc = 0
         a = t[cols[0]].to_pylist()
         b = t[cols[1]].to_pylist()
         for x, y in zip(a, b):
-            acc = acc + np.uint64(stable_hash64(f"{x}\x00{y}"))
-        return pa.table({"h": pa.array([int(acc)], pa.uint64())})
+            acc = (acc + stable_hash64(f"{x}\x00{y}")) & _U64
+        return pa.table({"h": pa.array([acc], pa.uint64())})
 
-    acc = np.uint64(0)
+    acc = 0
     for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         for v in batch["h"].to_pylist():
-            acc = acc + np.uint64(v)
-    return int(acc)
+            acc = (acc + v) & _U64
+    return acc
 
 
 def _dedup_edges(t: pa.Table) -> pa.Table:
@@ -117,6 +120,12 @@ def connected_components(edges, *, max_rounds: int = 30):
     from ray.data.aggregate import Min
 
     cur = edges.map_batches(_dedup_edges, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+        )
     prev_sum = None
     for _ in range(max_rounds):
         cur = _small_star(_large_star(cur)).materialize()
