@@ -1,0 +1,270 @@
+"""Per-stage checkpointing with manifests, lineage and metrics.
+
+BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics".  The reference's only persistence is pickle caches
+(kb.py:99-108) and TSV KV caches (utilities.py:154-200); for a distributed
+batch pipeline the right shape (Ray guide "Sources & sinks") is:
+
+  run_dir/
+    <stage>/part-*.parquet       materialized stage output (partitioned)
+    <stage>.manifest.json        config hash, input fingerprint, row count,
+                                 per-file lineage, wall time, counters
+
+A stage is SKIPPED on re-run iff its manifest exists, its config hash and
+input fingerprint match, and every listed file is present — so a killed run
+resumes from the last completed stage boundary, and a config change
+invalidates exactly the stages it affects (and, through the fingerprint
+chain, everything downstream).  Writes are atomic: tmp dir + rename.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+def config_hash(obj: Any) -> str:
+    """Stable hash of a JSON-serializable stage config."""
+    return hashlib.blake2b(
+        json.dumps(obj, sort_keys=True, default=str).encode(), digest_size=8
+    ).hexdigest()
+
+
+@dataclass
+class StageResult:
+    name: str
+    skipped: bool
+    rows: int
+    seconds: float
+    path: str
+    fingerprint: str
+
+
+@dataclass
+class RunState:
+    run_dir: str
+    stages: list[StageResult] = field(default_factory=list)
+
+    def report(self) -> dict:
+        return {
+            "run_dir": self.run_dir,
+            "stages": [s.__dict__ for s in self.stages],
+        }
+
+
+class CheckpointedRun:
+    """Driver-side orchestrator for a sequence of checkpointed stages."""
+
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.state = RunState(run_dir)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, f"{stage}.manifest.json")
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.run_dir, stage)
+
+    def _can_skip(self, stage: str, cfg_hash: str, input_fp: str) -> dict | None:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            m = json.load(f)
+        if m.get("config_hash") != cfg_hash or m.get("input_fingerprint") != input_fp:
+            return None
+        sd = self._stage_dir(stage)
+        for fname in m.get("files", []):
+            if not os.path.exists(os.path.join(sd, fname)):
+                return None
+        return m
+
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], Any],
+        *,
+        config: Any = None,
+        input_fingerprint: str = "",
+    ):
+        """Run (or skip) one stage.  ``build`` returns a ray.data.Dataset;
+        its output is written to parquet under run_dir/name/ atomically.
+        Returns a Dataset reading the checkpoint (so downstream stages always
+        consume the materialized, resumable form).
+
+        The stage's output fingerprint (content-derived) chains into
+        downstream input_fingerprints for lineage.
+        """
+        import ray.data as rd
+
+        cfg = config_hash(config)
+        existing = self._can_skip(name, cfg, input_fingerprint)
+        sd = self._stage_dir(name)
+        if existing is not None:
+            self.state.stages.append(
+                StageResult(name, True, existing["rows"], 0.0, sd, existing["fingerprint"])
+            )
+            return rd.read_parquet(sd)
+
+        t0 = time.perf_counter()
+        ds = build()
+        tmp = sd + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(sd):
+            shutil.rmtree(sd)
+        ds.write_parquet(tmp)
+        rows = 0
+        files = sorted(os.listdir(tmp))
+        h = hashlib.blake2b(digest_size=8)
+        for fname in files:
+            fp = os.path.join(tmp, fname)
+            h.update(fname.encode())
+            h.update(str(os.path.getsize(fp)).encode())
+        os.rename(tmp, sd)
+        out = rd.read_parquet(sd)
+        rows = out.count()
+        seconds = time.perf_counter() - t0
+        fingerprint = h.hexdigest()
+        manifest = {
+            "stage": name,
+            "config_hash": cfg,
+            "config": config,
+            "input_fingerprint": input_fingerprint,
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "seconds": round(seconds, 3),
+            "files": files,
+            "written_at": time.time(),
+        }
+        with open(self._manifest_path(name) + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        os.replace(self._manifest_path(name) + ".tmp", self._manifest_path(name))
+        self.state.stages.append(StageResult(name, False, rows, seconds, sd, fingerprint))
+        return out
+
+    def last_fingerprint(self) -> str:
+        return self.state.stages[-1].fingerprint if self.state.stages else ""
+
+
+def run_flagship_checkpointed(
+    docs,
+    kb,
+    run_dir: str,
+    *,
+    gen_config=None,
+    concurrency=(1, 8),
+    batch_size: int = 128,
+    input_fingerprint: str = "",
+):
+    """Flagship pipeline with a checkpoint at every stage boundary.
+
+    Resume semantics: kill at any point, re-run with the same run_dir and
+    config → completed stages are read back from parquet, only the rest
+    recompute.  Output is identical (all ids are content-derived)."""
+    import ray
+
+    from ..stages.blocking import CandidateGeneration, NameIndexData
+    from ..stages.chains import Stage1Chains
+    from ..stages.scoring import EntityResolution
+    from ..pipelines.flagship import DEFAULT_GEN_CONFIG, run_flagship
+
+    run = CheckpointedRun(run_dir)
+    gen_cfg = gen_config or DEFAULT_GEN_CONFIG
+
+    chains = run.stage(
+        "stage1_chains",
+        lambda: docs.map_batches(Stage1Chains(), batch_format="pyarrow", batch_size=batch_size),
+        config={"stage": "chains", "batch_size": batch_size},
+        input_fingerprint=input_fingerprint,
+    )
+
+    index_ref = ray.put(NameIndexData(kb))
+    cands = run.stage(
+        "stage2_candidates",
+        lambda: chains.map_batches(
+            CandidateGeneration,
+            fn_constructor_kwargs=dict(index=index_ref, config=gen_cfg),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        ),
+        config={"stage": "candidates", "gen": gen_cfg},
+        input_fingerprint=run.last_fingerprint(),
+    )
+
+    kb_ref = ray.put({e["entity_id"]: e for e in kb.to_pylist()})
+    resolved = run.stage(
+        "stage3_resolved",
+        lambda: cands.map_batches(
+            EntityResolution,
+            fn_constructor_kwargs=dict(kb=kb_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        ),
+        config={"stage": "resolve"},
+        input_fingerprint=run.last_fingerprint(),
+    )
+
+    # stage 4: clustering + explode, via the in-memory path on the
+    # materialized resolved table
+    import pyarrow as pa
+
+    from ..pipelines.flagship import _explode, _singleton_clusters
+    from ..stages.cluster import connected_components
+    from .. import ids as _ids
+
+    def build_clusters():
+        def to_edges(t: pa.Table) -> pa.Table:
+            linked = t.filter(pa.compute.not_equal(t["entity_id"], ""))
+            src = [
+                _ids.node_id(d, c)
+                for d, c in zip(
+                    linked["doc_id"].to_pylist(), linked["chain_id"].to_pylist()
+                )
+            ]
+            dst = [_ids.entity_node_id(e) for e in linked["entity_id"].to_pylist()]
+            return pa.table(
+                {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+            )
+
+        labels = connected_components(
+            resolved.map_batches(to_edges, batch_format="pyarrow")
+        )
+        entity_labels = {}
+        for batch in labels.iter_batches(batch_format="pyarrow"):
+            for node, label in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
+                if node.startswith("E\x1f"):
+                    entity_labels[node[2:]] = label
+
+        def assign(t: pa.Table) -> pa.Table:
+            out = []
+            for d, c, e in zip(
+                t["doc_id"].to_pylist(), t["chain_id"].to_pylist(), t["entity_id"].to_pylist()
+            ):
+                if e and e in entity_labels:
+                    out.append(entity_labels[e])
+                elif e:
+                    out.append(_ids.entity_node_id(e))
+                else:
+                    out.append(_ids.node_id(d, c))
+            return t.append_column("cluster_id", pa.array(out, pa.string()))
+
+        return _explode(resolved.map_batches(assign, batch_format="pyarrow"))
+
+    mentions = run.stage(
+        "stage4_mentions",
+        build_clusters,
+        config={"stage": "cluster"},
+        input_fingerprint=run.last_fingerprint(),
+    )
+    return {"mentions": mentions, "run": run.state.report()}
