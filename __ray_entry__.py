@@ -277,7 +277,7 @@ def _er_resolved(sf_dir: str):
     from hamerkop_ray.pipelines.flagship import run_flagship
 
     docs = _span_docs(sf_dir)
-    return run_flagship(docs, _kb(), concurrency=(1, 4))["mentions"]
+    return run_flagship(docs, _kb(), concurrency=(1, 8))["mentions"]
 
 
 def _er_chains(sf_dir: str):

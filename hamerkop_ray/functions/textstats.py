@@ -21,8 +21,9 @@ _TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 _DIGIT_RE = re.compile(r"\d")
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
 
 
 def whitespace_token_count(texts: pd.Series) -> pd.Series:
@@ -82,8 +83,8 @@ def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> str:
     for i in range(len(norm) - window + 1):
         h = _FNV_OFFSET
         for ch in norm[i : i + window]:
-            h = (h ^ np.uint64(ord(ch) & 0xFF)) * _FNV_PRIME
-        hashes.append(int(h))
+            h = ((h ^ (ord(ch) & 0xFF)) * _FNV_PRIME) & _U64
+        hashes.append(h)
     hashes = sorted(set(hashes))[:keep]
     return "-".join(f"{h:016x}" for h in hashes)
 

@@ -176,19 +176,24 @@ def ngram_jaccard_pairs(
     id_col="doc_id",
     max_bucket: int = 256,
 ):
-    """→ Dataset (src, dst, jaccard): LSH-bucketed candidates verified with
-    EXACT n-gram Jaccard (texts ride only inside buckets)."""
+    """→ Dataset (src, dst, jaccard): LSH-bucketed candidates, pre-filtered
+    with a vectorized MinHash-signature estimate, then verified with EXACT
+    n-gram Jaccard (shingle sets computed once per bucket member; texts ride
+    only inside buckets)."""
     h = MinHasher(num_perm=64, shingle_n=shingle_n, seed=1)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        ids, keys, texts = [], [], []
+        ids, keys, texts, sigs = [], [], [], []
         for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            sig = h.signature(text).tobytes()
             for key in h.band_keys(text, bands):
                 ids.append(str(i))
                 keys.append(key)
                 texts.append(text)
+                sigs.append(sig)
         return pa.table(
-            {"band": pa.array(keys), "id": pa.array(ids), "text": pa.array(texts)}
+            {"band": pa.array(keys), "id": pa.array(ids),
+             "text": pa.array(texts), "sig": pa.array(sigs, pa.binary())}
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -197,15 +202,31 @@ def ngram_jaccard_pairs(
             rows = rows.sort_values("id").head(max_bucket)
         ids = rows["id"].tolist()
         texts = rows["text"].tolist()
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in rows["sig"]])
+        # vectorized estimate over all pairs; exact verify only survivors
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cand = (est[iu, ju] >= threshold - 0.15).nonzero()[0]
+        from ..functions.strings import shingles as _sh
+
+        sets: dict[int, set] = {}
+
+        def sset(i: int) -> set:
+            if i not in sets:
+                sets[i] = set(_sh(texts[i], shingle_n))
+            return sets[i]
+
         src, dst, jac = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jv = exact_jaccard(texts[i], texts[j], shingle_n)
-                if jv >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    src.append(a)
-                    dst.append(b)
-                    jac.append(jv)
+        for k in cand:
+            i, j = int(iu[k]), int(ju[k])
+            si, sj = sset(i), sset(j)
+            union = len(si | sj)
+            jv = (len(si & sj) / union) if union else 1.0
+            if jv >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                src.append(a)
+                dst.append(b)
+                jac.append(jv)
         return pd.DataFrame(
             {
                 "src": pd.Series(src, dtype="object"),

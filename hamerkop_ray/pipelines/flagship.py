@@ -63,6 +63,42 @@ MENTION_OUTPUT = pa.schema(
 )
 
 
+class FusedERStage:
+    """One actor-pool stage running the whole per-document ER path:
+    parse → preprocess → in-doc coref → candidate generation → resolution.
+
+    Fusing mirrors the reference's per-document locality (pipeline.py:117-145)
+    while skipping every intermediate Arrow materialization — chain rows stay
+    python dicts between the sub-stages inside one __call__.  The actor holds
+    the broadcast name index + KB dict (built once per actor in __init__),
+    exactly the stateful-actor-pool shape BASELINE.json north_star demands.
+    Only the final resolved-chains table is emitted.
+    """
+
+    def __init__(
+        self,
+        index,
+        kb,
+        gen_config=None,
+        resolvers=None,
+        sieve_stages=None,
+        maximum_candidates: int = 25,
+    ):
+        self.stage1 = Stage1Chains(sieve_stages=sieve_stages)
+        self.gen = CandidateGeneration(
+            index, config=gen_config or DEFAULT_GEN_CONFIG, maximum=maximum_candidates
+        )
+        self.res = EntityResolution(kb, resolvers=resolvers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = self.stage1.chain_rows(batch)
+        if not rows:
+            return RESOLVED_CHAINS.empty_table()
+        rows = self.gen.add_candidates(rows)
+        out = self.res.resolve_rows(rows)
+        return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)
+
+
 def run_flagship(
     docs,
     kb: pa.Table,
@@ -74,42 +110,65 @@ def run_flagship(
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 128,
     do_cluster: bool = True,
+    fused: bool = True,
+    cc_driver_threshold: int = 2_000_000,
 ):
     """docs: ray.data.Dataset of the documents table; kb: arrow KB table.
 
     Returns a dict of datasets: chains (resolved [+ cluster_id]) and
     mentions (per-mention output rows).
+
+    fused=True (default) runs parse→coref→candidates→resolution as ONE
+    actor-pool map_batches (see FusedERStage).  fused=False keeps separate
+    stages (the checkpointed path materializes those boundaries).
     """
     import ray
 
     index_ref = ray.put(NameIndexData(kb))
     kb_ref = ray.put({e["entity_id"]: e for e in kb.to_pylist()})
 
-    chains = docs.map_batches(
-        Stage1Chains(sieve_stages=sieve_stages),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    cands = chains.map_batches(
-        CandidateGeneration,
-        fn_constructor_kwargs=dict(
-            index=index_ref,
-            config=gen_config or DEFAULT_GEN_CONFIG,
-            maximum=maximum_candidates,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    resolved = cands.map_batches(
-        EntityResolution,
-        fn_constructor_kwargs=dict(kb=kb_ref, resolvers=resolvers),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if fused:
+        resolved = docs.map_batches(
+            FusedERStage,
+            fn_constructor_kwargs=dict(
+                index=index_ref,
+                kb=kb_ref,
+                gen_config=gen_config,
+                resolvers=resolvers,
+                sieve_stages=sieve_stages,
+                maximum_candidates=maximum_candidates,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        chains = docs.map_batches(
+            Stage1Chains(sieve_stages=sieve_stages),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        cands = chains.map_batches(
+            CandidateGeneration,
+            fn_constructor_kwargs=dict(
+                index=index_ref,
+                config=gen_config or DEFAULT_GEN_CONFIG,
+                maximum=maximum_candidates,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        resolved = cands.map_batches(
+            EntityResolution,
+            fn_constructor_kwargs=dict(kb=kb_ref, resolvers=resolvers),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
 
     if not do_cluster:
         clustered = resolved.map_batches(_singleton_clusters, batch_format="pyarrow")
@@ -126,7 +185,10 @@ def run_flagship(
         dst = [ids.entity_node_id(e) for e in linked["entity_id"].to_pylist()]
         return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
 
-    labels = connected_components(resolved.map_batches(to_edges, batch_format="pyarrow"))
+    labels = connected_components(
+        resolved.map_batches(to_edges, batch_format="pyarrow"),
+        driver_threshold=cc_driver_threshold,
+    )
 
     # entity-node labels are the small side (≤ |KB|): broadcast them
     entity_labels: dict[str, str] = {}

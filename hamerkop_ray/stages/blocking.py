@@ -250,13 +250,17 @@ class CandidateGeneration:
         self._cache[key] = out
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        chains = batch.to_pylist()
+    def add_candidates(self, chains: list[dict]) -> list[dict]:
+        """In-place candidate assignment on python-dict chain rows (fused path)."""
         for c in chains:
             c["candidates"] = [
                 {"entity_id": e, "rank": r, "source": s}
                 for (e, r, s) in self._candidates_for(c)
             ]
+        return chains
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        chains = self.add_candidates(batch.to_pylist())
         if not chains:
             return CANDIDATES.empty_table()
         return pa.Table.from_pylist(chains, schema=CANDIDATES)

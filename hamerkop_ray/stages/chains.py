@@ -89,10 +89,18 @@ class Stage1Chains:
         self.sieve_stages = sieve_stages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.chain_rows(batch)
+        if not out:
+            return CHAINS.empty_table()
+        return pa.Table.from_pylist(out, schema=CHAINS)
+
+    def chain_rows(self, batch: pa.Table) -> list[dict]:
+        """Python-dict form of the output — used by the fused ER stage to
+        skip intermediate Arrow round-trips."""
         mentions = self.parse(batch)
         mentions = self.preprocessor(mentions)
         if mentions.num_rows == 0:
-            return CHAINS.empty_table()
+            return []
         rows = mentions.to_pylist()
         # mentions arrive doc-contiguous (parse emits per doc, preprocess only
         # filters/rewrites rows) — group by run.
@@ -110,6 +118,4 @@ class Stage1Chains:
             for ch in chains:
                 out.append(chain_rollup(doc_id, ch, doc["lang"], doc["doc_type"]))
             i = j
-        if not out:
-            return CHAINS.empty_table()
-        return pa.Table.from_pylist(out, schema=CHAINS)
+        return out

@@ -307,7 +307,14 @@ class EntityResolution:
         return lev_min, jw_max
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
+        out = self.resolve_rows(batch.to_pylist())
+        if not out:
+            return RESOLVED_CHAINS.empty_table()
+        return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)
+
+    def resolve_rows(self, rows: list[dict]) -> list[dict]:
+        """Python-dict form (fused path): chain rows with 'candidates' →
+        resolved chain rows."""
         lev_min, jw_max = self._batch_distances(rows)
         out = []
         for ci, row in enumerate(rows):
@@ -337,6 +344,4 @@ class EntityResolution:
             rec["score"] = score
             rec["method"] = method
             out.append(rec)
-        if not out:
-            return RESOLVED_CHAINS.empty_table()
-        return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)
+        return out

@@ -45,8 +45,9 @@ def test_connected_components_matches_union_find():
 
     edges = make_edges()
     ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    # force the DISTRIBUTED star-contraction path (driver_threshold=0)
     labels = {r["node"]: r["label"] for b in
-              connected_components(ds).iter_batches(batch_format="pyarrow")
+              connected_components(ds, driver_threshold=0).iter_batches(batch_format="pyarrow")
               for r in b.to_pylist()}
 
     expected = uf_components(edges)
@@ -69,7 +70,24 @@ def test_connected_components_chain_graph():
     edges = [(f"p{i:03d}", f"p{i+1:03d}") for i in range(40)]
     ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
     labels = {r["node"]: r["label"] for b in
-              connected_components(ds).iter_batches(batch_format="pyarrow")
+              connected_components(ds, driver_threshold=0).iter_batches(batch_format="pyarrow")
               for r in b.to_pylist()}
     assert set(labels.values()) == {"p000"}
     assert len(labels) == 41
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_driver_fast_path_matches_distributed():
+    import ray.data as rd
+
+    from hamerkop_ray.stages.cluster import connected_components
+
+    edges = make_edges(n_nodes=80, n_edges=120, seed=8)
+    ds = rd.from_items([{"src": s, "dst": d} for s, d in edges])
+    fast = {r["node"]: r["label"] for b in
+            connected_components(ds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    dist = {r["node"]: r["label"] for b in
+            connected_components(ds, driver_threshold=0).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    assert fast == dist

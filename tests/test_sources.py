@@ -1,0 +1,174 @@
+"""Sources: CoNLL edge cases, KB loader + filters, submission format."""
+
+import pyarrow as pa
+import pytest
+
+from hamerkop_ray.sources import conll, kb as kbsrc, output
+from hamerkop_ray.stages.parse import ParseDocuments
+
+
+# --- CoNLL edge cases (reference tests/test_io.py:15-102 semantics) ---------
+
+
+def test_conll_consecutive_b_tags():
+    text = (
+        "Henry\tB-PER\tHenry\tdoc1\t1\t5\tsegment-0\n"
+        "Clark\tB-PER\tClark\tdoc1\t7\t11\tsegment-0\n"
+    )
+    docs = conll.read_conll_text(text)
+    spans = docs.to_pylist()[0]["spans"]
+    assert [s["kind"] for s in spans] == ["mention/PER", "mention/PER"]
+    assert [s["text"] for s in spans] == ["Henry", "Clark"]
+
+
+def test_conll_trailing_i_closes_mention():
+    text = (
+        "the\tO\tthe\tdoc1\t1\t3\tsegment-0\n"
+        "New\tB-ORG\tNew\tdoc1\t5\t7\tsegment-0\n"
+        "York\tI-ORG\tYork\tdoc1\t9\t12\tsegment-0\n"
+    )
+    docs = conll.read_conll_text(text)
+    spans = docs.to_pylist()[0]["spans"]
+    assert spans[-1]["text"] == "New York"
+    assert spans[-1]["kind"] == "mention/ORG"
+
+
+def test_conll_orphan_i_is_token():
+    # I without a preceding B: the reference state machine treats it as a
+    # plain token (io.py:122-137: I only extends while in a mention)
+    text = "York\tI-ORG\tYork\tdoc1\t1\t4\tsegment-0\n"
+    docs = conll.read_conll_text(text)
+    spans = docs.to_pylist()[0]["spans"]
+    assert spans[0]["kind"] == "token"
+
+
+def test_conll_doc_boundary_on_id_change():
+    text = (
+        "a\tO\ta\tdoc1\t1\t1\tsegment-0\n"
+        "b\tO\tb\tdoc2\t1\t1\tsegment-0\n"
+        "c\tO\tc\tdoc1\t3\t3\tsegment-0\n"
+    )
+    docs = conll.read_conll_text(text)
+    # consecutive grouping: doc1, doc2, doc1 again (io.py:84-87)
+    assert [d["doc_id"] for d in docs.to_pylist()] == ["doc1", "doc2", "doc1"]
+
+
+def test_conll_short_lines_skipped():
+    text = "a\tO\ta\tdoc1\t1\t1\tsegment-0\n\nb\tO\tb\tdoc1\t3\t3\tsegment-0\n"
+    docs = conll.read_conll_text(text)
+    assert len(docs.to_pylist()[0]["spans"]) == 2
+
+
+# --- KB loader (reference io.py:335-673) ------------------------------------
+
+
+def _kb_row(entity_id="E1", etype="GPE", name="Freedonia", origin="GEO",
+            country="FR", link="", lat="48.1", lon="11.5", pop="1000"):
+    row = [""] * kbsrc.N_COLUMNS
+    row[kbsrc.ORIGIN] = origin
+    row[kbsrc.ENTITY_TYPE] = etype
+    row[kbsrc.ENTITY_ID] = entity_id
+    row[kbsrc.NAME] = name
+    row[kbsrc.LATITUDE] = lat
+    row[kbsrc.LONGITUDE] = lon
+    row[kbsrc.COUNTRY_CODE] = country
+    row[kbsrc.POPULATION] = pop
+    row[kbsrc.EXTERNAL_LINK] = link
+    return "\t".join(row)
+
+
+def test_parse_entities():
+    text = "header\n" + _kb_row() + "\n" + _kb_row("E2", "PER", "John Smith", "WLL",
+                                                  link="http://x|http://y", lat="bad")
+    ents = kbsrc.parse_entities_text(text)
+    assert len(ents) == 2
+    assert ents[0]["latitude"] == 48.1 and ents[0]["population"] == 1000
+    assert ents[1]["urls"] == ["http://x", "http://y"]
+    assert ents[1]["latitude"] is None
+
+
+def test_filter_cascade_tristate():
+    f = kbsrc.CascadeFilter([kbsrc.origin_filter("WLL"), kbsrc.link_filter()])
+    row_w = _kb_row(origin="WLL").split("\t")
+    row_g_link = _kb_row(origin="GEO", link="http://x").split("\t")
+    row_g = _kb_row(origin="GEO").split("\t")
+    assert f(row_w) is True  # first filter votes keep
+    assert f(row_g_link) is True  # second filter votes keep
+    assert f(row_g) is False  # nobody votes keep ⇒ drop (io.py:536-537)
+
+
+def test_country_filter():
+    f = kbsrc.CascadeFilter([kbsrc.country_filter("fr")])
+    assert f(_kb_row(country="FR").split("\t")) is True
+    assert f(_kb_row(country="DE").split("\t")) is False
+
+
+def test_script_name_filter():
+    f = kbsrc.script_name_filter("ge'ez")
+    assert f("London") is True  # english always kept
+    assert f("ኢትዮጵያ") is True  # configured script
+    assert f("москва") is False  # other script dropped
+
+
+def test_language_name_filter():
+    f = kbsrc.language_name_filter({"paris": "fr", "london": "en"}, "de")
+    assert f("London") is True  # en allowed
+    assert f("Paris") is False  # fr not in {en, de, ''}
+    assert f("Unknownname") is True  # unknown names pass (io.py:666)
+
+
+def test_load_kb_table_with_alt_names(tmp_path):
+    ents = tmp_path / "entities.tab"
+    ents.write_text("h\n" + _kb_row() + "\n" + _kb_row("E2", "PER", "John Smith", "WLL") + "\n")
+    alts = tmp_path / "alt.tab"
+    alts.write_text("h\th\nE1\tFreedonya\nE9\tGhost\nE2\tJohnny\n")
+    t = kbsrc.load_kb_table(str(ents), str(alts))
+    rows = {r["entity_id"]: r for r in t.to_pylist()}
+    assert rows["E1"]["names"] == ["Freedonia", "Freedonya"]
+    assert "E9" not in rows  # names for absent entities dropped (io.py:495)
+
+
+def test_kb_recall():
+    t = pa.table({"entity_id": ["E1", "E2"]})
+    recall, missed = kbsrc.kb_recall(t, {"E1", "E3", "NIL007"})
+    assert recall == 0.5 and missed == {"E3"}
+
+
+# --- submission format (reference io.py:257-332) ----------------------------
+
+
+def test_output_golden_line():
+    # golden from reference tests/test_io.py:105-128
+    line = output.format_line(
+        "test", "Men1", "Henry", "_WL_doc34", 123, 128, "67", "PER", "NAM", 0.75
+    )
+    assert line == "test\tMen1\tHenry\t_WL_doc34:123-128\t67\tPER\tNAM\t0.75"
+
+
+def test_output_roundtrip():
+    line = output.format_line("r", "M1", "Foo Bar", "d_NW_1", 5, 11, "E1|E2", "ORG")
+    t = output.parse_submission_text(line + "\n")
+    r = t.to_pylist()[0]
+    assert r["doc_id"] == "d_NW_1" and (r["char_start"], r["char_stop"]) == (5, 11)
+    assert output.link_ids(r["kb_id"]) == ["E1", "E2"]
+    assert not output.is_nil(r["kb_id"])
+    assert output.is_nil("NIL00042")
+
+
+def test_write_submission_batch():
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "mention_id": ["M1"],
+            "doc_id": ["d_NW_1"],
+            "mention_text": ["Foo"],
+            "char_start": [1],
+            "char_stop": [3],
+            "entity_type": ["PER"],
+            "entity_id": [""],
+            "cluster_id": ["NILC1"],
+        }
+    )
+    lines = output.write_submission_batch(t, "run1")
+    assert lines["line"].to_pylist() == ["run1\tM1\tFoo\td_NW_1:1-3\tNILC1\tPER\tNAM\t1.0"]
