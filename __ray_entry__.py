@@ -58,7 +58,7 @@ def entry() -> Any:
     from hamerkop_ray.pipelines.flagship import run_flagship
 
     docs = _span_docs("/root/testdata/sf0.001")
-    out = run_flagship(docs, _kb(), gen_config=None, concurrency=(1, 4))
+    out = run_flagship(docs, _kb(), gen_config=None, concurrency=(2, 8))
     return out["mentions"]
 
 
@@ -277,7 +277,7 @@ def _er_resolved(sf_dir: str):
     from hamerkop_ray.pipelines.flagship import run_flagship
 
     docs = _span_docs(sf_dir)
-    return run_flagship(docs, _kb(), concurrency=(1, 8))["mentions"]
+    return run_flagship(docs, _kb(), concurrency=(2, 16))["mentions"]
 
 
 def _er_chains(sf_dir: str):

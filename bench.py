@@ -110,11 +110,83 @@ def run_bench() -> dict:
     return result
 
 
+def run_scaling_headline() -> dict:
+    """Single measurement for the scaling protocol: the flagship ER pipeline
+    over the sf-derived corpus replicated GRAFT_REPLICATE× (default 4 →
+    ~20k docs at sf0.1) so per-stage compute dominates fixed overheads —
+    the N-vs-4N comparison then measures the pipeline, not Ray startup."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "4"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.flagship import run_flagship
+    from hamerkop_ray.synth import SynthDocsFromText, make_kb
+
+    kb = make_kb(400, 42)
+    kb_ref = ray.put(kb)
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=max(128, num_cpus * 4),
+    )
+
+    def replicas(r):
+        def shift(t: pa.Table) -> pa.Table:
+            ids_ = pa.compute.add(t["doc_id"], pa.scalar(r * 10_000_000, pa.int64()))
+            return t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids_)
+
+        return base.map_batches(shift, batch_format="pyarrow")
+
+    corpus = replicas(0)
+    for r in range(1, replicate):
+        corpus = corpus.union(replicas(r))
+    docs = corpus.map_batches(
+        SynthDocsFromText,
+        fn_constructor_kwargs=dict(kb_ref=kb_ref),
+        batch_format="pyarrow",
+        concurrency=(2, max(4, num_cpus // 2)),
+    ).materialize()
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    out = run_flagship(docs, kb, concurrency=(2, num_cpus), batch_size=64)
+    rows = _consume(out["mentions"])
+    sec = time.perf_counter() - t0
+    result = {
+        "metric": "er_flagship_scaling_run",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_mention_rows": rows,
+        "docs_per_sec": round(n_docs / sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling() -> dict:
-    """Same headline pipeline in fresh processes at 8 and 32 CPUs."""
+    """Headline pipeline in fresh processes at 8 and 32 CPUs on the SAME
+    input (BASELINE.md protocol: sandbox stand-in for N vs 4N nodes)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="scaling_run")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -136,16 +208,17 @@ def run_scaling() -> dict:
         "num_cpus_hi": hi_cpus,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "n_docs": hi["n_docs"],
         "docs_per_sec_lo": lo["docs_per_sec"],
         "docs_per_sec_hi": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3) if eff else None,
-        "queries_lo": lo["queries"],
-        "queries_hi": hi["queries"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_MODE") == "scaling_run":
+        print(json.dumps(run_scaling_headline()))
     else:
         print(json.dumps(run_bench()))

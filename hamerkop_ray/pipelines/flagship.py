@@ -190,7 +190,8 @@ def run_flagship(
         driver_threshold=cc_driver_threshold,
     )
 
-    # entity-node labels are the small side (≤ |KB|): broadcast them
+    # entity-node labels are the small side (≤ |KB|): broadcast them once;
+    # assignment is a stateless task fn (fuses with the explode stage)
     entity_labels: dict[str, str] = {}
     for batch in labels.iter_batches(batch_format="pyarrow"):
         for node, label in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
@@ -198,32 +199,23 @@ def run_flagship(
                 entity_labels[node[2:]] = label
     labels_ref = ray.put(entity_labels)
 
-    class AssignClusters:
-        def __init__(self, ref):
-            self.labels = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def assign_clusters(t: pa.Table) -> pa.Table:
+        lmap = ray.get(labels_ref)
+        out = []
+        for d, c, e in zip(
+            t["doc_id"].to_pylist(),
+            t["chain_id"].to_pylist(),
+            t["entity_id"].to_pylist(),
+        ):
+            if e and e in lmap:
+                out.append(lmap[e])
+            elif e:
+                out.append(ids.entity_node_id(e))
+            else:
+                out.append(ids.node_id(d, c))  # NIL singleton
+        return t.append_column("cluster_id", pa.array(out, pa.string()))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out = []
-            for d, c, e in zip(
-                t["doc_id"].to_pylist(),
-                t["chain_id"].to_pylist(),
-                t["entity_id"].to_pylist(),
-            ):
-                if e and e in self.labels:
-                    out.append(self.labels[e])
-                elif e:
-                    out.append(ids.entity_node_id(e))
-                else:
-                    out.append(ids.node_id(d, c))  # NIL singleton
-            return t.append_column("cluster_id", pa.array(out, pa.string()))
-
-    clustered = resolved.map_batches(
-        AssignClusters,
-        fn_constructor_kwargs=dict(ref=labels_ref),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    clustered = resolved.map_batches(assign_clusters, batch_format="pyarrow")
     return {"chains": clustered, "mentions": _explode(clustered)}
 
 
