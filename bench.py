@@ -117,7 +117,7 @@ def run_scaling_headline() -> dict:
     the N-vs-4N comparison then measures the pipeline, not Ray startup."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("GRAFT_REPLICATE", "4"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "16"))
 
     import ray
 
@@ -143,7 +143,7 @@ def run_scaling_headline() -> dict:
 
     base = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        override_num_blocks=max(128, num_cpus * 4),
+        override_num_blocks=num_cpus,
     )
 
     def replicas(r):
@@ -156,17 +156,23 @@ def run_scaling_headline() -> dict:
     corpus = replicas(0)
     for r in range(1, replicate):
         corpus = corpus.union(replicas(r))
-    docs = corpus.map_batches(
-        SynthDocsFromText,
-        fn_constructor_kwargs=dict(kb_ref=kb_ref),
-        batch_format="pyarrow",
-        concurrency=(2, max(4, num_cpus // 2)),
-    ).materialize()
+    # coalesce the union's many small blocks: per-block driver overhead
+    # would otherwise dominate and mask scaling
+    docs = (
+        corpus.repartition(num_cpus * 2)
+        .map_batches(
+            SynthDocsFromText,
+            fn_constructor_kwargs=dict(kb_ref=kb_ref),
+            batch_format="pyarrow",
+            concurrency=(2, max(4, num_cpus // 2)),
+        )
+        .materialize()
+    )
     n_docs = docs.count()
 
     t0 = time.perf_counter()
-    out = run_flagship(docs, kb, concurrency=(2, num_cpus), batch_size=64)
-    rows = _consume(out["mentions"])
+    out = run_flagship(docs, kb, concurrency=(2, num_cpus), batch_size=256)
+    rows = out["mentions"].count()  # full execution, no driver-side row pull
     sec = time.perf_counter() - t0
     result = {
         "metric": "er_flagship_scaling_run",

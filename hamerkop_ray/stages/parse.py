@@ -146,3 +146,80 @@ class ParseDocuments:
                 mention_idx += 1
             # media spans: no chars, no tokens, identity-only
         return out
+
+
+class ParseDocumentsWithGroundTruth(ParseDocuments):
+    """GT-driven mention extraction (DocumentPreparerUsingGroundTruth,
+    io.py:167-254): mention boundaries & types come from the ground-truth
+    link table keyed by (doc_id, char_start, char_stop) instead of span
+    markers; documents absent from the GT are dropped.
+
+    gt: {doc_id: {(start, stop): entity_type}} — broadcast via ray.put and
+    materialized once per actor when used in an actor pool.
+    """
+
+    def __init__(self, gt, lang_detector=None, default_lang: str = "eng"):
+        super().__init__(lang_detector, default_lang)
+        try:
+            import ray
+
+            if isinstance(gt, ray.ObjectRef):
+                gt = ray.get(gt)
+        except ImportError:
+            pass
+        self.gt = gt
+
+    def _parse_one(self, doc_id, kinds, texts, offs) -> list[tuple]:
+        doc_gt = self.gt.get(doc_id)
+        if not doc_gt:
+            return []  # docs absent from GT are dropped (io.py:237-240)
+        doc_type = detect_doc_type(doc_id)
+        lang = self.default_lang
+        if self.lang_detector is not None:
+            tokens = [t for k, t in zip(kinds, texts) if k == "token" and t]
+            lang = self.lang_detector.detect(doc_id, tokens)
+        # reconstruct text + per-token char/token offsets
+        text_parts: list[str] = []
+        tok_char_starts: list[int] = []
+        cursor = 0
+        for k, t in zip(kinds, texts):
+            if k == "token":
+                toks = [t]
+            elif k.startswith("mention"):
+                toks = t.split(" ")
+            else:
+                continue
+            for tok in toks:
+                tok_char_starts.append(cursor + 1)
+                text_parts.append(tok)
+                cursor += len(tok) + 1
+        text = " ".join(text_parts)
+        out = []
+        for mention_idx, ((start, stop), etype) in enumerate(
+            sorted(doc_gt.items())
+        ):
+            surface = text[start - 1 : stop]
+            # token offsets from char offsets (0-based excl., core.py:156)
+            tok_start = next(
+                (i for i, cs in enumerate(tok_char_starts) if cs >= start), 0
+            )
+            n_toks = surface.count(" ") + 1
+            out.append(
+                (
+                    ids.mention_id(doc_id, start, stop),
+                    doc_id,
+                    mention_idx,
+                    surface,
+                    surface,
+                    "",
+                    "",
+                    etype,
+                    start,
+                    stop,
+                    tok_start,
+                    tok_start + n_toks,
+                    lang,
+                    doc_type,
+                )
+            )
+        return out

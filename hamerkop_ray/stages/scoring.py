@@ -206,6 +206,71 @@ class LinearResolver:
         return cands[int(np.argmax(scores))], cands
 
 
+def in_country_feature(entity: dict, countries: set[str]) -> float:
+    """InCountryFeature (features.py:85-107, unexported/untested in the
+    reference): 1 when the entity's country is in the configured set."""
+    return 1.0 if entity.get("country", "") in countries else 0.0
+
+
+class HashNameEncoder:
+    """Deterministic character-ngram hashing encoder: name → unit vector.
+
+    Stand-in for a neural name encoder (none is vendored in this container).
+    Near-identical strings share most ngrams → high cosine; the interface
+    (encode_batch) and placement (actor __init__, batched calls) are exactly
+    what a model-backed encoder needs, so swapping in a real model is a
+    one-class change.
+    """
+
+    def __init__(self, dim: int = 64, ngram: int = 3):
+        self.dim = dim
+        self.ngram = ngram
+
+    def encode_batch(self, names: list[str]) -> np.ndarray:
+        from ..functions.strings import shingles
+        from ..ids import stable_hash64
+
+        out = np.zeros((len(names), self.dim), dtype=np.float64)
+        for i, name in enumerate(names):
+            for g in shingles(name, self.ngram):
+                h = stable_hash64(g)
+                out[i, h % self.dim] += 1.0 if (h >> 32) % 2 else -1.0
+            n = np.linalg.norm(out[i])
+            if n:
+                out[i] /= n
+        return out
+
+
+class EmbeddingResolver:
+    """Embedding-cosine scorer (north_star addition; no reference
+    counterpart — SURVEY.md §2.11): encode the chain's best name and every
+    candidate's names, select the candidate with max cosine ≥ threshold.
+
+    The encoder is actor state — EntityResolution holds this resolver, and
+    each pool actor builds the encoder once in __init__."""
+
+    name = "embedding"
+
+    def __init__(self, threshold: float = 0.7, encoder=None):
+        self.threshold = threshold
+        self.encoder = encoder or HashNameEncoder()
+
+    def __call__(self, chain, cands, ctx):
+        if not cands:
+            return None, cands
+        qv = self.encoder.encode_batch([chain["name"]])[0]
+        best, best_s = None, -1.0
+        for e in cands:
+            evs = self.encoder.encode_batch(list(e["names"]))
+            s = float(evs @ qv.T if evs.ndim == 1 else (evs @ qv).max())
+            if s > best_s:
+                best_s = s
+                best = e
+        if best is not None and best_s >= self.threshold:
+            return best, cands
+        return None, cands
+
+
 class TypeSpecificResolver:
     """Gate on chain entity type (resolver.py:229-242)."""
 
@@ -236,6 +301,70 @@ class LanguageSpecificResolver:
 
 def default_cascade() -> list:
     return [ExactNameResolver(), WikipediaResolver(), EditDistanceResolver(0.1)]
+
+
+class FeatureRecorder:
+    """Training-data dump (resolver.py:157-189, spec-by-intent — the
+    reference has latent bugs there, SURVEY.md §2.7): one row per
+    (chain, candidate) with the feature vector and a binary label from
+    ground truth.  Run as map_batches over the candidates table with the GT
+    link map broadcast; write the output with Dataset.write_parquet."""
+
+    def __init__(self, kb, gt_ref):
+        try:
+            import ray
+
+            if isinstance(kb, ray.ObjectRef):
+                kb = ray.get(kb)
+            if isinstance(gt_ref, ray.ObjectRef):
+                gt_ref = ray.get(gt_ref)
+        except ImportError:
+            pass
+        if isinstance(kb, pa.Table):
+            kb = {e["entity_id"]: e for e in kb.to_pylist()}
+        self.kb = kb
+        self.gt: dict[str, str] = gt_ref  # mention_id -> kb_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = EntityResolution(self.kb, resolvers=[])
+        rows = batch.to_pylist()
+        lev_min, _ = res._batch_distances(rows)
+        out = {
+            "doc_id": [], "chain_id": [], "entity_id": [], "label": [],
+            **{f"f_{n}": [] for n in FEATURE_NAMES},
+        }
+        for ci, row in enumerate(rows):
+            gts = {
+                self.gt[m["mention_id"]]
+                for m in row["mentions"]
+                if m["mention_id"] in self.gt
+            }
+            linked = {g for g in gts if "NIL" not in g}
+            if not gts:
+                continue  # no ground truth for this chain (resolver.py:171)
+            for cand in row["candidates"]:
+                e = self.kb.get(cand["entity_id"])
+                if e is None:
+                    continue
+                fv = feature_vector(row, e, lev_min[ci].get(e["entity_id"], 1.0))
+                out["doc_id"].append(row["doc_id"])
+                out["chain_id"].append(row["chain_id"])
+                out["entity_id"].append(e["entity_id"])
+                out["label"].append(int(e["entity_id"] in linked))
+                for n, v in zip(FEATURE_NAMES, fv):
+                    out[f"f_{n}"].append(float(v))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "chain_id": pa.array(out["chain_id"], pa.string()),
+                "entity_id": pa.array(out["entity_id"], pa.string()),
+                "label": pa.array(out["label"], pa.int32()),
+                **{
+                    f"f_{n}": pa.array(out[f"f_{n}"], pa.float64())
+                    for n in FEATURE_NAMES
+                },
+            }
+        )
 
 
 # ---------------------------------------------------------------------------
