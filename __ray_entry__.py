@@ -290,6 +290,15 @@ def _er_chains(sf_dir: str):
     )
 
 
+def _events_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.streaming import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return sessionize(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational
@@ -299,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_priority": rel.orders_by_priority,
         "events_hourly": rel.events_hourly,
         "top_users_by_value": rel.top_users_by_value,
+        "events_sessions": _events_sessions,
         "part_brand_stats": rel.part_brand_stats,
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
@@ -334,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_priority": rel.ORDERS_BY_PRIORITY_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "top_users_by_value": rel.TOP_USERS_SQL,
+        "events_sessions": __import__("hamerkop_ray.pipelines.streaming", fromlist=["SESSIONIZE_SQL"]).SESSIONIZE_SQL,
         "part_brand_stats": rel.PART_BRAND_SQL,
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,

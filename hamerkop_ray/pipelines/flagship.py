@@ -177,13 +177,20 @@ def run_flagship(
     resolved = resolved.materialize()  # consumed twice: edges + assignment
 
     def to_edges(t: pa.Table) -> pa.Table:
-        linked = t.filter(pa.compute.not_equal(t["entity_id"], ""))
-        src = [
-            ids.node_id(d, c)
-            for d, c in zip(linked["doc_id"].to_pylist(), linked["chain_id"].to_pylist())
-        ]
-        dst = [ids.entity_node_id(e) for e in linked["entity_id"].to_pylist()]
-        return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+        # vectorized node-id construction (ids.node_id / ids.entity_node_id)
+        pc = pa.compute
+        linked = t.filter(pc.not_equal(t["entity_id"], ""))
+        src = pc.binary_join_element_wise(
+            pc.cast(linked["doc_id"], pa.string()),
+            pc.cast(linked["chain_id"], pa.string()),
+            "\x1f",
+        )
+        dst = pc.binary_join_element_wise(
+            pa.array(["E"] * linked.num_rows, pa.string()),
+            pc.cast(linked["entity_id"], pa.string()),
+            "\x1f",
+        )
+        return pa.table({"src": src, "dst": dst})
 
     labels = connected_components(
         resolved.map_batches(to_edges, batch_format="pyarrow"),
@@ -200,20 +207,18 @@ def run_flagship(
     labels_ref = ray.put(entity_labels)
 
     def assign_clusters(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pc = pa.compute
         lmap = ray.get(labels_ref)
-        out = []
-        for d, c, e in zip(
-            t["doc_id"].to_pylist(),
-            t["chain_id"].to_pylist(),
-            t["entity_id"].to_pylist(),
-        ):
-            if e and e in lmap:
-                out.append(lmap[e])
-            elif e:
-                out.append(ids.entity_node_id(e))
-            else:
-                out.append(ids.node_id(d, c))  # NIL singleton
-        return t.append_column("cluster_id", pa.array(out, pa.string()))
+        ent = t["entity_id"].to_pandas()
+        mapped = ent.map(lmap)  # NaN where unlabeled
+        ent_fallback = "E\x1f" + ent  # linked but label==entity node
+        nil = (
+            t["doc_id"].to_pandas() + "\x1f" + t["chain_id"].to_pandas()
+        )  # NIL singleton node id
+        out = mapped.where(mapped.notna(), ent_fallback.where(ent != "", nil))
+        return t.append_column("cluster_id", pa.array(out.tolist(), pa.string()))
 
     clustered = resolved.map_batches(assign_clusters, batch_format="pyarrow")
     return {"chains": clustered, "mentions": _explode(clustered)}
@@ -230,30 +235,38 @@ def _singleton_clusters(t: pa.Table) -> pa.Table:
 
 def _explode(clustered):
     """Clustered chains → one output row per mention (OutputWriter shape,
-    io.py:286-297: each mention of a chain carries the chain's entity)."""
+    io.py:286-297: each mention of a chain carries the chain's entity).
+
+    Fully vectorized: the nested mentions column is flattened once per batch
+    and chain-level columns are gathered by list-parent indices."""
 
     def explode(t: pa.Table) -> pa.Table:
-        rows = []
-        for r in t.to_pylist():
-            for m in r["mentions"]:
-                rows.append(
-                    {
-                        "mention_id": m["mention_id"],
-                        "doc_id": r["doc_id"],
-                        "chain_id": r["chain_id"],
-                        "mention_text": m["surface"],
-                        "char_start": m["char_start"],
-                        "char_stop": m["char_stop"],
-                        "entity_type": m["entity_type"],
-                        "entity_id": r["entity_id"],
-                        "cluster_id": r["cluster_id"],
-                        "method": r["method"],
-                        "score": r["score"],
-                    }
-                )
-        if not rows:
+        if t.num_rows == 0:
             return MENTION_OUTPUT.empty_table()
-        return pa.Table.from_pylist(rows, schema=MENTION_OUTPUT)
+        col = t.column("mentions").combine_chunks()
+        chunk = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        flat = chunk.flatten()
+        parents = pa.compute.list_parent_indices(chunk)
+
+        def gather(name):
+            return t[name].combine_chunks().take(parents)
+
+        return pa.Table.from_arrays(
+            [
+                flat.field("mention_id"),
+                gather("doc_id"),
+                gather("chain_id"),
+                flat.field("surface"),
+                flat.field("char_start"),
+                flat.field("char_stop"),
+                flat.field("entity_type"),
+                gather("entity_id"),
+                gather("cluster_id"),
+                gather("method"),
+                gather("score"),
+            ],
+            schema=MENTION_OUTPUT,
+        )
 
     return clustered.map_batches(explode, batch_format="pyarrow")
 

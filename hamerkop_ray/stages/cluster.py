@@ -159,16 +159,18 @@ def connected_components(
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    cur = edges.map_batches(_dedup_edges, batch_format="pyarrow").materialize()
-    n_edges = cur.count()
+    cur = edges.materialize()
+    n_edges = cur.count()  # free on a materialized dataset
     if n_edges == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
         )
     if n_edges <= driver_threshold:
+        # union-find dedups implicitly — no dedup pre-pass needed
         return rd.from_arrow(
             _driver_union_find(cur.iter_batches(batch_format="pyarrow"))
         )
+    cur = cur.map_batches(_dedup_edges, batch_format="pyarrow").materialize()
     prev_sum = None
     for _ in range(max_rounds):
         cur = _small_star(_large_star(cur)).materialize()
