@@ -55,6 +55,7 @@ def test_sliding_windows_cover_events():
     # every event appears in window_minutes/slide_minutes = 2 windows
     assert sum(r["n_events"] for r in out) == 4
     # the [00:00] window contains both events (0m and 45m)
-    base = datetime.datetime(2024, 1, 1).timestamp()
+    # arrow timestamps are naive-as-UTC; compute the epoch the same way
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
     by_start = {r["window_start_epoch"]: r["n_events"] for r in out}
     assert by_start[int(base)] == 2
