@@ -235,7 +235,7 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
         return pa.table(
             {"event_type": t["event_type"], "hour_bucket": hour, "value": t["value"]}

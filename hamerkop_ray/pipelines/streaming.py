@@ -64,7 +64,8 @@ def sliding_window_counts(events, *, window_minutes: int = 60, slide_minutes: in
     import pyarrow.compute as pc
 
     def expand(t: pa.Table) -> pa.Table:
-        us = pc.cast(t["ts"], pa.int64())
+        # normalize to microseconds regardless of the column's timestamp unit
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         types_out = []
         starts_out = []
         us_list = us.to_pylist()
