@@ -117,7 +117,7 @@ def run_scaling_headline() -> dict:
     the N-vs-4N comparison then measures the pipeline, not Ray startup."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("GRAFT_REPLICATE", "32"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "64"))
 
     import ray
 
@@ -171,7 +171,7 @@ def run_scaling_headline() -> dict:
     n_docs = docs.count()
 
     t0 = time.perf_counter()
-    out = run_flagship(docs, kb, concurrency=num_cpus, batch_size=128)
+    out = run_flagship(docs, kb, concurrency=num_cpus, batch_size=512)
     rows = out["mentions"].count()  # full execution, no driver-side row pull
     sec = time.perf_counter() - t0
     result = {

@@ -32,7 +32,6 @@ from .. import ids
 from ..schemas import CHAINS
 from ..stages.blocking import CandidateGeneration, NameIndexData
 from ..stages.chains import Stage1Chains
-from ..stages.cluster import connected_components
 from ..stages.scoring import RESOLVED_CHAINS, EntityResolution
 
 DEFAULT_GEN_CONFIG = [("exact", "name"), ("ngram", "name")]
@@ -192,18 +191,25 @@ def run_flagship(
         )
         return pa.table({"src": src, "dst": dst})
 
-    labels = connected_components(
-        resolved.map_batches(to_edges, batch_format="pyarrow"),
-        driver_threshold=cc_driver_threshold,
-    )
+    # Transitive clustering.  The match graph here is bipartite-star BY
+    # CONSTRUCTION: every chain emits at most one edge (chain → its resolved
+    # entity), so components are exactly {entity ∪ its chains} and the
+    # min-label closure collapses to ONE distributed aggregate:
+    #     label(entity) = min(entity_node, min over linked chain nodes)
+    # — a single groupby shuffle of the narrow edge table, no iteration.
+    # This is the degenerate (diameter-2) case of stages.cluster
+    # connected_components and produces labels identical to it (the general
+    # star-contraction operator is used where graphs are arbitrary, e.g.
+    # pipelines.dedup).  The per-entity label map is KB-sized — the same
+    # broadcast small side as the KB dict itself.
+    from ray.data.aggregate import Min
 
-    # entity-node labels are the small side (≤ |KB|): broadcast them once;
-    # assignment is a stateless task fn (fuses with the explode stage)
+    edges_ds = resolved.map_batches(to_edges, batch_format="pyarrow")
+    agg = edges_ds.groupby("dst").aggregate(Min("src", alias_name="min_src"))
     entity_labels: dict[str, str] = {}
-    for batch in labels.iter_batches(batch_format="pyarrow"):
-        for node, label in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
-            if node.startswith("E\x1f"):
-                entity_labels[node[2:]] = label
+    for batch in agg.iter_batches(batch_format="pyarrow"):
+        for dst, min_src in zip(batch["dst"].to_pylist(), batch["min_src"].to_pylist()):
+            entity_labels[dst[2:]] = min(dst, min_src)
     labels_ref = ray.put(entity_labels)
 
     def assign_clusters(t: pa.Table) -> pa.Table:

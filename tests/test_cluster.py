@@ -91,3 +91,32 @@ def test_driver_fast_path_matches_distributed():
             connected_components(ds, driver_threshold=0).iter_batches(batch_format="pyarrow")
             for r in b.to_pylist()}
     assert fast == dist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_aggregate_closure_equals_generic_cc():
+    """The flagship's one-aggregate closure must equal the generic operator
+    on its bipartite-star match graph."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.flagship import run_flagship
+    from hamerkop_ray.stages.cluster import connected_components
+    from hamerkop_ray.synth import synth_world
+
+    docs, kb, links = synth_world(n_docs=40, n_entities=60, seed=13)
+    out = run_flagship(rd.from_arrow(docs), kb)
+    rows = [r for b in out["chains"].iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+    edges = rd.from_items(
+        [{"src": f"{r['doc_id']}\x1f{r['chain_id']}",
+          "dst": f"E\x1f{r['entity_id']}"}
+         for r in rows if r["entity_id"]]
+    )
+    labels = {l["node"]: l["label"]
+              for b in connected_components(edges).iter_batches(batch_format="pyarrow")
+              for l in b.to_pylist()}
+    for r in rows:
+        if r["entity_id"]:
+            assert r["cluster_id"] == labels[f"E\x1f{r['entity_id']}"]
+        else:
+            assert r["cluster_id"] == f"{r['doc_id']}\x1f{r['chain_id']}"
