@@ -44,11 +44,14 @@ def _span_docs(sf_dir: str):
 
     kb_ref = ray.put(_kb())
     base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # small batch_size → many output blocks → downstream stages parallelize
+    # (Ray dispatches map tasks per block; one fat block = one busy worker)
     return base.map_batches(
         SynthDocsFromText,
         fn_constructor_kwargs=dict(kb_ref=kb_ref),
         batch_format="pyarrow",
-        concurrency=2,
+        batch_size=128,
+        concurrency=4,
     )
 
 

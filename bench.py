@@ -117,7 +117,7 @@ def run_scaling_headline() -> dict:
     the N-vs-4N comparison then measures the pipeline, not Ray startup."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    replicate = int(os.environ.get("GRAFT_REPLICATE", "64"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "96"))
 
     import ray
 
@@ -143,29 +143,30 @@ def run_scaling_headline() -> dict:
 
     base = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        override_num_blocks=num_cpus,
+        override_num_blocks=num_cpus * 2,
     )
 
-    def replicas(r):
-        def shift(t: pa.Table) -> pa.Table:
-            ids_ = pa.compute.add(t["doc_id"], pa.scalar(r * 10_000_000, pa.int64()))
-            return t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids_)
+    # replicate inside one map (a 32-way union + repartition plan is
+    # pathologically slow in the streaming executor)
+    def replicate_rows(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("doc_id")
+        parts = []
+        for r in range(replicate):
+            shifted = pa.compute.add(t["doc_id"], pa.scalar(r * 10_000_000, pa.int64()))
+            parts.append(t.set_column(idx, "doc_id", shifted))
+        return pa.concat_tables(parts)
 
-        return base.map_batches(shift, batch_format="pyarrow")
-
-    corpus = replicas(0)
-    for r in range(1, replicate):
-        corpus = corpus.union(replicas(r))
-    # coalesce the union's many small blocks: per-block driver overhead
-    # would otherwise dominate and mask scaling
     docs = (
-        corpus.repartition(num_cpus * 2)
+        base.map_batches(replicate_rows, batch_format="pyarrow")
         .map_batches(
             SynthDocsFromText,
             fn_constructor_kwargs=dict(kb_ref=kb_ref),
             batch_format="pyarrow",
+            batch_size=1024,
             concurrency=(2, max(4, num_cpus // 2)),
         )
+        .materialize()
+        .repartition(num_cpus * 4)
         .materialize()
     )
     n_docs = docs.count()
@@ -202,7 +203,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_CPUS_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_CPUS_HI", "32"))
     lo = run(lo_cpus)
     hi = run(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]

@@ -25,6 +25,10 @@ def _get_conn():
     global _conn
     if _conn is None:
         _conn = duckdb.connect(":memory:")
+        # one worker = one core: duckdb defaults to a machine-wide thread
+        # pool per connection, which oversubscribes the node when dozens of
+        # map_batches actors each hold a connection
+        _conn.execute("SET threads TO 1")
     return _conn
 
 

@@ -176,7 +176,9 @@ def run_flagship(
     resolved = resolved.materialize()  # consumed twice: edges + assignment
 
     def to_edges(t: pa.Table) -> pa.Table:
-        # vectorized node-id construction (ids.node_id / ids.entity_node_id)
+        # vectorized node-id construction (ids.node_id / ids.entity_node_id),
+        # PRE-AGGREGATED per batch (combiner): only one (dst, min src) row
+        # per entity per batch enters the shuffle, not one row per chain.
         pc = pa.compute
         linked = t.filter(pc.not_equal(t["entity_id"], ""))
         src = pc.binary_join_element_wise(
@@ -189,7 +191,9 @@ def run_flagship(
             pc.cast(linked["entity_id"], pa.string()),
             "\x1f",
         )
-        return pa.table({"src": src, "dst": dst})
+        full = pa.table({"src": src, "dst": dst})
+        partial = full.group_by("dst").aggregate([("src", "min")])
+        return partial.rename_columns(["dst", "src"])
 
     # Transitive clustering.  The match graph here is bipartite-star BY
     # CONSTRUCTION: every chain emits at most one edge (chain → its resolved

@@ -441,36 +441,80 @@ class EntityResolution:
             return RESOLVED_CHAINS.empty_table()
         return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)
 
+    # resolvers whose decisions read batch-computed distances/features
+    _NEEDS_DISTANCES = ("editdist", "jaro_winkler", "linear")
+
+    def _needs_distances(self, resolver) -> bool:
+        name = getattr(resolver, "name", "")
+        return name in self._NEEDS_DISTANCES
+
     def resolve_rows(self, rows: list[dict]) -> list[dict]:
         """Python-dict form (fused path): chain rows with 'candidates' →
-        resolved chain rows."""
-        lev_min, jw_max = self._batch_distances(rows)
-        out = []
+        resolved chain rows.
+
+        Two-phase cascade: set-based resolvers (exact/wiki — no distances)
+        run first; ONLY chains still unresolved when the cascade reaches a
+        distance-needing resolver enter the batched distance kernel, over
+        their surviving (possibly pruned) candidates.  Most linked chains
+        resolve exactly, so the expensive pairwise kernel sees a fraction of
+        the batch.  Cascade order/semantics are unchanged (exact/wiki never
+        read ctx distances)."""
+        out: list[dict | None] = [None] * len(rows)
+        pending: list[tuple[int, int, list[dict]]] = []  # (row_idx, stage_idx, cands)
+
+        def finish(ci: int, row: dict, entity: str, method: str, lev_for_row: dict):
+            rec = {k: row[k] for k in CHAINS.names}
+            rec["entity_id"] = entity
+            rec["score"] = 1.0 - lev_for_row.get(entity, 0.0) if entity else 0.0
+            rec["method"] = method
+            out[ci] = rec
+
+        empty_ctx = {"lev": {}, "jw": {}}
         for ci, row in enumerate(rows):
             cands = [
                 self.kb[c["entity_id"]]
                 for c in row["candidates"]
                 if c["entity_id"] in self.kb
             ]
-            ctx = {"lev": lev_min[ci], "jw": jw_max[ci]}
-            if self.need_features:
-                ctx["features"] = {
-                    e["entity_id"]: feature_vector(
-                        row, e, lev_min[ci].get(e["entity_id"], 1.0)
-                    )
-                    for e in cands
-                }
-            entity, method, score = "", "", 0.0
-            for resolver in self.resolvers:
-                picked, cands = resolver(row, cands, ctx)
-                if picked is not None:
-                    entity = picked["entity_id"]
-                    method = resolver.name
-                    score = 1.0 - ctx["lev"].get(entity, 0.0)
+            resolved_here = False
+            for si, resolver in enumerate(self.resolvers):
+                if self._needs_distances(resolver):
+                    pending.append((ci, si, cands))
+                    resolved_here = True  # deferred to phase 2
                     break
-            rec = {k: row[k] for k in CHAINS.names}
-            rec["entity_id"] = entity
-            rec["score"] = score
-            rec["method"] = method
-            out.append(rec)
-        return out
+                picked, cands = resolver(row, cands, empty_ctx)
+                if picked is not None:
+                    finish(ci, row, picked["entity_id"], resolver.name, {})
+                    resolved_here = True
+                    break
+            if not resolved_here:
+                finish(ci, row, "", "", {})
+
+        if pending:
+            sub_rows = [rows[ci] for ci, _, _ in pending]
+            sub_for_dist = [
+                {**rows[ci], "candidates": [
+                    {"entity_id": e["entity_id"]} for e in cands
+                ]}
+                for ci, _, cands in pending
+            ]
+            lev_min, jw_max = self._batch_distances(sub_for_dist)
+            for pi, (ci, si, cands) in enumerate(pending):
+                row = rows[ci]
+                ctx = {"lev": lev_min[pi], "jw": jw_max[pi]}
+                if self.need_features:
+                    ctx["features"] = {
+                        e["entity_id"]: feature_vector(
+                            row, e, lev_min[pi].get(e["entity_id"], 1.0)
+                        )
+                        for e in cands
+                    }
+                entity, method = "", ""
+                for resolver in self.resolvers[si:]:
+                    picked, cands = resolver(row, cands, ctx)
+                    if picked is not None:
+                        entity = picked["entity_id"]
+                        method = resolver.name
+                        break
+                finish(ci, row, entity, method, ctx["lev"])
+        return [r for r in out if r is not None]
