@@ -127,6 +127,9 @@ def _driver_union_find(edge_batches) -> pa.Table:
 
     for batch in edge_batches:
         for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+            if s == d:
+                continue  # self-loops carry no connectivity (the distributed
+                # path drops them in _dedup_edges; keep outputs identical)
             rs, rd_ = find(s), find(d)
             if rs != rd_:
                 # union by label order so the root is the lexicographic min
