@@ -181,6 +181,89 @@ class TypeConflation:
         return [etype]
 
 
+def kb_exact_index_table(kb: pa.Table) -> pa.Table:
+    """Explode the KB into the exact-blocking index TABLE: one row per
+    (entity_type, lower(name), entity_id) — the distributed-join counterpart
+    of ExactMatchMemoryNameIndex (kb.py:173-182).  Write it to parquet once
+    per KB version (the KB-prep job, SURVEY.md §3.2)."""
+    keys, ids_out = [], []
+    for e in kb.to_pylist():
+        for name in e["names"]:
+            keys.append(f"{e['entity_type']}\x1f{name.lower()}")
+            ids_out.append(e["entity_id"])
+    return pa.table(
+        {"block_key": pa.array(keys, pa.string()), "entity_id": pa.array(ids_out, pa.string())}
+    )
+
+
+def partitioned_exact_candidates(
+    chains,
+    kb_index,
+    *,
+    num_partitions: int = 16,
+    hot_threshold: int | None = 1000,
+    shards: int = 8,
+    maximum: int = 25,
+):
+    """Exact-key blocking as a DISTRIBUTED hash join — the scale path when
+    the KB index is too large to broadcast (SURVEY.md §4: index shipped as a
+    table and joined, instead of resident per actor).
+
+    chains: Dataset with (doc_id, chain_id, entity_type, name, ...).
+    kb_index: Dataset of kb_exact_index_table rows.
+
+    Probe side emits one narrow row per chain keyed by
+    (entity_type, lower(name)); hot keys (Zipfian surface forms — country
+    names) are salted via stages.joins.salted_inner_join so no single reducer
+    receives a hot key's full volume.  Output: (doc_id, chain_id, entity_id)
+    pair rows, deduped, capped at `maximum` per chain by ascending entity_id
+    (deterministic; the broadcast path preserves KB order instead — callers
+    needing byte-identical candidate ORDER should use the broadcast path).
+    """
+    import pandas as pd
+
+    from .joins import salted_inner_join
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        key = pc_.binary_join_element_wise(
+            pc_.cast(t["entity_type"], pa.string()),
+            pc_.utf8_lower(pc_.cast(t["name"], pa.string())),
+            "\x1f",
+        )
+        return pa.table(
+            {
+                "block_key": key,
+                "doc_id": t["doc_id"],
+                "chain_id": t["chain_id"],
+            }
+        )
+
+    probe = chains.map_batches(probe_rows, batch_format="pyarrow")
+    joined = salted_inner_join(
+        probe,
+        kb_index,
+        "block_key",
+        num_partitions=num_partitions,
+        hot_threshold=hot_threshold,
+        shards=shards,
+    )
+
+    def per_chain(g: pd.DataFrame) -> pd.DataFrame:
+        ids_sorted = sorted(set(g["entity_id"]))[:maximum]
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0]] * len(ids_sorted),
+                "chain_id": [g["chain_id"].iloc[0]] * len(ids_sorted),
+                "entity_id": ids_sorted,
+            }
+        )
+
+    return joined.groupby(["doc_id", "chain_id"]).map_groups(
+        per_chain, batch_format="pandas"
+    )
+
+
 class CandidateGeneration:
     """Actor-pool stage: chains batch → candidates batch.
 
