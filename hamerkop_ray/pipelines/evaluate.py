@@ -114,6 +114,60 @@ def _mention_map(clusters) -> dict[str, str]:
     return out
 
 
+def score_coref_distributed(chains_ds, gt_clusters_by_doc: dict, metric=b3):
+    """Distributed CorefScorer: per-document metric partials computed inside
+    map_batches (chains rows are per-doc complete), summed globally — exact
+    because all scorer state is additive (coref.py:84-110 / SURVEY §2.5).
+
+    chains_ds: Dataset of CHAINS rows.
+    gt_clusters_by_doc: {doc_id: [[mention_id,...], ...]} ground truth.
+    Returns an AdditiveScorer holding the global sums.
+    """
+    import pyarrow as pa
+
+    def partials(t: pa.Table) -> pa.Table:
+        by_doc: dict[str, list[list[str]]] = {}
+        for r in t.to_pylist():
+            by_doc.setdefault(r["doc_id"], []).append(
+                [m["mention_id"] for m in r["mentions"]]
+            )
+        s = AdditiveScorer(metric=metric)
+        for doc_id, pred in by_doc.items():
+            gt = gt_clusters_by_doc.get(doc_id)
+            if gt:
+                s.update(pred, gt)
+        return pa.table(
+            {
+                "p_num": pa.array([float(s.p_num)]),
+                "p_den": pa.array([float(s.p_den)]),
+                "r_num": pa.array([float(s.r_num)]),
+                "r_den": pa.array([float(s.r_den)]),
+            }
+        )
+
+    total = AdditiveScorer(metric=metric)
+    for batch in chains_ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in batch.to_pylist():
+            total.p_num += r["p_num"]
+            total.p_den += r["p_den"]
+            total.r_num += r["r_num"]
+            total.r_den += r["r_den"]
+    return total
+
+
+def gt_clusters_from_links(links_rows: list[dict]) -> dict[str, list[list[str]]]:
+    """GT links table → per-doc clusters of mention ids, keyed by kb_id /
+    NIL cluster id (OutputReader→CorefScorer prep, coref.py:149-172)."""
+    by_doc: dict[str, dict[str, list[str]]] = {}
+    for r in links_rows:
+        by_doc.setdefault(r["doc_id"], {}).setdefault(r["kb_id"], []).append(
+            r["mention_id"]
+        )
+    return {d: list(clusters.values()) for d, clusters in by_doc.items()}
+
+
 # ---------------------------------------------------------------------------
 # pairwise cluster F1 at shared blocking keys (BASELINE.json metric)
 # ---------------------------------------------------------------------------

@@ -78,3 +78,36 @@ def test_blocking_pairs_share_band_key():
     pairs = blocking_pairs(surfaces, types)
     assert ("m1", "m2") in pairs
     assert ("m1", "m3") not in pairs and ("m3", "m1") not in pairs
+
+
+def test_distributed_coref_scorer_matches_driver(ray_session):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.evaluate import (
+        AdditiveScorer,
+        gt_clusters_from_links,
+        score_coref_distributed,
+    )
+    from hamerkop_ray.stages.chains import Stage1Chains
+    from hamerkop_ray.synth import synth_world
+
+    docs, kb, links = synth_world(n_docs=50, n_entities=60, seed=21)
+    chains = Stage1Chains()(docs)
+    gt = gt_clusters_from_links(links.to_pylist())
+
+    # driver-side oracle
+    driver = AdditiveScorer()
+    by_doc = {}
+    for r in chains.to_pylist():
+        by_doc.setdefault(r["doc_id"], []).append(
+            [m["mention_id"] for m in r["mentions"]]
+        )
+    for doc_id, pred in by_doc.items():
+        if doc_id in gt:
+            driver.update(pred, gt[doc_id])
+
+    dist = score_coref_distributed(rd.from_arrow(chains), gt)
+    assert (dist.p_num, dist.p_den, dist.r_num, dist.r_den) == (
+        driver.p_num, driver.p_den, driver.r_num, driver.r_den,
+    )
+    assert dist.f1 > 0.8  # sanity: synth coref structure is mostly recoverable
