@@ -190,6 +190,27 @@ def _surface_variant(name: str, names: list[str], key: str) -> str:
     return s
 
 
+def _adversarial_surface(surface: str, doc_marker: str, key: str) -> str:
+    """Occasionally wrap surfaces in the junk forms the preprocessors handle
+    (FIXTURES.md §1): smart quotes/emoji (TextNormalizer), twitter @user /
+    #HashTag in _SN_ docs, url garbage (GarbageRemover), over-long mentions
+    (TooLongMentionRemover)."""
+    r = _rnd(key + ":adv")
+    if r < 0.90:
+        return surface
+    if r < 0.925:
+        return "‘" + surface + "’"  # smart quotes → ascii
+    if r < 0.94:
+        return surface + " \U0001F600"  # emoji stripped (note: adds a token)
+    if r < 0.955 and doc_marker == "_SN_" and " " not in surface:
+        return "#" + surface  # hashtag processing
+    if r < 0.97:
+        return "www." + surface.replace(" ", "").lower() + ".example"  # garbage
+    if r < 0.985:
+        return surface + " of the seven valley region annex"  # over-long
+    return surface
+
+
 def synth_documents(
     base_doc_ids: list[int],
     filler_texts: list[str],
@@ -240,10 +261,12 @@ def synth_documents(
                 nil_idx = _h(mkey + ":nid") % max(20, len(base_doc_ids) // 4)
                 surface = f"Zyx {_syl_word(mkey + ':nw', 2)}{nil_idx}"
                 etype = _pick(mkey + ":nt", ENTITY_TYPES)
+                surface = _adversarial_surface(surface, marker, mkey)
                 mentions_planned.append((surface, etype, "", f"NIL{nil_idx:05d}"))
             else:
                 ent = ents[_zipf_entity(mkey + ":e", n_ent)]
                 surface = _surface_variant(ent["name"], ent["names"], mkey + ":v")
+                surface = _adversarial_surface(surface, marker, mkey)
                 mentions_planned.append((surface, ent["entity_type"], ent["entity_id"], ""))
             # coref: repeat some mentions (same entity, possibly case-varied)
             if _rnd(mkey + ":rep") < 0.25:

@@ -61,14 +61,20 @@ def run_reference_stage1(conll_text: str):
         ]
     )
     docs = []
+    raw_mentions = []  # snapshot BEFORE preprocessing (removals/rewrites)
     for rows in read_conll(io.StringIO(conll_text)):
         doc = preparer.process(rows)
         if doc is None:
             continue
+        raw_mentions.extend(
+            (doc.doc_id, m.offsets[0], m.offsets[1], m.original_string, m.type,
+             m.token_offsets)
+            for m in doc.mentions
+        )
         preprocessor.process(doc)
         coref.coref(doc)
         docs.append(doc)
-    return docs
+    return docs, raw_mentions
 
 
 @pytest.fixture(scope="module")
@@ -81,14 +87,10 @@ def corpus():
 
 def test_mentions_match_reference(corpus):
     conll = to_conll_text(corpus)
-    ref_docs = run_reference_stage1(conll)
+    ref_docs, raw = run_reference_stage1(conll)
     ours = ParseDocuments()(corpus).to_pylist()
 
-    ref_mentions = {
-        (d.doc_id, m.offsets[0], m.offsets[1], m.original_string, m.type)
-        for d in ref_docs
-        for m in d.mentions
-    }
+    ref_mentions = {(d, a, b, s, t) for (d, a, b, s, t, _) in raw}
     our_mentions = {
         (m["doc_id"], m["char_start"], m["char_stop"], m["surface"], m["entity_type"])
         for m in ours
@@ -98,11 +100,9 @@ def test_mentions_match_reference(corpus):
 
 def test_token_offsets_match_reference(corpus):
     conll = to_conll_text(corpus)
-    ref_docs = run_reference_stage1(conll)
+    ref_docs, raw = run_reference_stage1(conll)
     ours = ParseDocuments()(corpus).to_pylist()
-    ref = {
-        (d.doc_id, m.offsets[0]): m.token_offsets for d in ref_docs for m in d.mentions
-    }
+    ref = {(d, a): toks for (d, a, b, s, t, toks) in raw}
     for m in ours:
         key = (m["doc_id"], m["char_start"])
         assert ref[key] == (m["tok_start"], m["tok_stop"])
@@ -110,7 +110,7 @@ def test_token_offsets_match_reference(corpus):
 
 def test_chains_match_reference(corpus):
     conll = to_conll_text(corpus)
-    ref_docs = run_reference_stage1(conll)
+    ref_docs, _raw = run_reference_stage1(conll)
     ref_parts = {
         d.doc_id: {
             frozenset((m.offsets[0], m.offsets[1]) for m in chain.mentions)
@@ -130,7 +130,7 @@ def test_chains_match_reference(corpus):
 
 def test_chain_names_match_reference(corpus):
     conll = to_conll_text(corpus)
-    ref_docs = run_reference_stage1(conll)
+    ref_docs, _raw = run_reference_stage1(conll)
     ref_names = {
         (d.doc_id, frozenset(m.offsets[0] for m in chain.mentions)): chain.name
         for d in ref_docs
