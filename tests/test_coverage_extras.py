@@ -155,3 +155,41 @@ def test_embedding_resolver_selects_best(small_world):
             total += 1
             correct += c["entity_id"] in linked
     assert total > 20 and correct / total > 0.75
+
+
+def test_translit_path_end_to_end():
+    """NameProjector (translit) feeding TranslitIndexBasedGenerator semantics:
+    an accented mention resolves via its romanized form."""
+    import pyarrow as pa
+
+    from hamerkop_ray.functions.translit import AccentStripRomanizer
+    from hamerkop_ray.schemas import DOCUMENTS, KB
+    from hamerkop_ray.stages import preprocess as pp
+    from hamerkop_ray.stages.blocking import CandidateGeneration, NameIndexData
+    from hamerkop_ray.stages.chains import Stage1Chains
+
+    kb = pa.Table.from_pylist(
+        [{"entity_id": "E1", "entity_type": "GPE", "name": "Zurich City",
+          "names": ["Zurich City"], "origin": "GEO", "urls": [], "country": "CH",
+          "latitude": 0.0, "longitude": 0.0, "population": 1}],
+        schema=KB,
+    )
+    docs = pa.Table.from_pylist(
+        [{"doc_id": "D_NW_1",
+          "spans": [{"kind": "token", "text": "in", "media_ref": "", "offset": 1},
+                    {"kind": "mention/GPE", "text": "Zürich City", "media_ref": "", "offset": 4}]}],
+        schema=DOCUMENTS,
+    )
+    rom = AccentStripRomanizer()
+    cascade = pp.cascade([pp.default_cascade(), pp.name_projector(rom.translate, "translit")])
+    # non-English doc language: the romanizer (like URoman, string.py:145-150)
+    # skips English/pure-ASCII strings
+    chains = Stage1Chains(preprocessor=cascade, default_lang="deu")(docs)
+    assert chains.to_pylist()[0]["translit"] == "Zurich City"
+
+    gen = CandidateGeneration(
+        NameIndexData(kb), config=[("exact", "name"), ("exact", "translit")]
+    )
+    cands = gen(chains).to_pylist()[0]["candidates"]
+    assert [c["entity_id"] for c in cands] == ["E1"]
+    assert cands[0]["source"] == "exact:translit"
