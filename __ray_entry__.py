@@ -283,6 +283,17 @@ def _er_resolved(sf_dir: str):
     return run_flagship(docs, _kb(), concurrency=(2, 16))["mentions"]
 
 
+def _er_resolved_full(sf_dir: str):
+    """Flagship with the FULL composite blocking stack (exact + translit +
+    char-ngram-idf + Double Metaphone + MinHash-LSH bands)."""
+    from hamerkop_ray.pipelines.flagship import FULL_GEN_CONFIG, run_flagship
+
+    docs = _span_docs(sf_dir)
+    return run_flagship(docs, _kb(), gen_config=FULL_GEN_CONFIG, concurrency=(2, 8))[
+        "mentions"
+    ]
+
+
 def _er_chains(sf_dir: str):
     from hamerkop_ray.stages.chains import Stage1Chains
 
@@ -335,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_stats": _emb_centroid_stats,
         # entity resolution (non-SQL-expressible: multi-stage record linkage)
         "er_resolved_mentions": _er_resolved,
+        "er_resolved_full_blocking": _er_resolved_full,
         "er_chains": _er_chains,
     }
 
