@@ -296,7 +296,7 @@ def part_brand_stats(sf_dir: str):
 
 PART_BRAND_SQL = """
 SELECT p_brand, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price,
-       MAX(p_size) AS max_size
+       CAST(MAX(p_size) AS BIGINT) AS max_size
 FROM part GROUP BY p_brand
 """
 

@@ -35,7 +35,7 @@ def sessionize(events, *, gap_minutes: int = 30):
 
 SESSIONIZE_SQL = """
 SELECT user_id,
-       SUM(new_s) AS n_sessions,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS total_value
 FROM (
