@@ -166,7 +166,11 @@ def _scaling_headline_inner(sf_dir: str, num_cpus: int) -> dict:
     n_docs = docs.count()
 
     t0 = time.perf_counter()
-    out = run_flagship(docs, kb, concurrency=num_cpus, batch_size=512)
+    from hamerkop_ray.pipelines.flagship import FULL_GEN_CONFIG as _FULL
+
+    # the north_star-prescribed composite blocking stack (exact + translit +
+    # ngram-idf + Double Metaphone + MinHash-LSH bands)
+    out = run_flagship(docs, kb, gen_config=_FULL, concurrency=num_cpus, batch_size=512)
     rows = out["mentions"].count()  # full execution, no driver-side row pull
     sec = time.perf_counter() - t0
     return {
