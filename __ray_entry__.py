@@ -15,12 +15,52 @@ Queries without an oracle_sql entry are non-SQL-expressible (noted inline).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import pyarrow.parquet as pq
 
+# importable regardless of the driver's working directory
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from hamerkop_ray.pipelines import relational as rel
+
+
+def _register_by_value():
+    """Ray workers inherit the DRIVER's sys.path from before this module was
+    imported — if the driver started Ray from another cwd, workers cannot
+    import hamerkop_ray.  Register the whole package for cloudpickle
+    by-value serialization so stage callables ship self-contained."""
+    try:
+        import importlib
+        import pkgutil
+
+        import hamerkop_ray
+        from ray import cloudpickle
+
+        for modinfo in pkgutil.walk_packages(
+            hamerkop_ray.__path__, prefix="hamerkop_ray."
+        ):
+            try:
+                importlib.import_module(modinfo.name)
+            except Exception:
+                continue
+        for name, mod in list(sys.modules.items()):
+            if name == "hamerkop_ray" or name.startswith("hamerkop_ray."):
+                if mod is not None:
+                    try:
+                        cloudpickle.register_pickle_by_value(mod)
+                    except Exception:
+                        pass
+    except Exception:
+        pass  # best effort; irrelevant when workers share the repo cwd
+
+
+_register_by_value()
 
 _KB_CACHE: dict[tuple[int, int], Any] = {}
 
