@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
         "customer_order_counts": rel.customer_order_counts,
+        "distinct_event_types": rel.distinct_event_types,
+        "customers_without_orders": rel.customers_without_orders,
+        "top3_orders_per_priority": rel.top3_orders_per_priority,
         # text analysis
         "doc_stats": _doc_stats,
         "doc_quality": _doc_quality,  # no SQL oracle (heuristic features)
@@ -404,6 +407,9 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
+        "distinct_event_types": rel.DISTINCT_EVENT_TYPES_SQL,
+        "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "top3_orders_per_priority": rel.TOP3_PER_PRIORITY_SQL,
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens

@@ -392,3 +392,80 @@ SELECT o_custkey, COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey
 """
+
+
+def distinct_event_types(sf_dir: str):
+    """DISTINCT via Dataset.unique (a shuffle) — returned sorted for
+    deterministic comparison."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join: broadcast the urgent-order custkey set, filter customers
+    (broadcast semi/anti join — Ray guide 'Joins and lookups').  Keyed to
+    1-URGENT orders so the result is non-empty at every sf."""
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    okeys = set(
+        t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"].to_pylist()
+    )
+    okeys_ref = ray.put(okeys)
+
+    class AntiJoin:
+        def __init__(self):
+            self.keys = ray.get(okeys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
+            return t.filter(mask)
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') o
+  ON c_custkey = o_custkey
+WHERE o_custkey IS NULL
+"""
+
+
+def top3_orders_per_priority(sf_dir: str):
+    """Windowed top-N per group (ROW_NUMBER analog): per-group sort + head
+    inside map_groups, deterministic tie-break on o_orderkey."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    out = ds.groupby("o_orderpriority").map_groups(top3, batch_format="pandas")
+    return _round_cols(out, {"o_totalprice": 2})
+
+
+TOP3_PER_PRIORITY_SQL = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
