@@ -316,6 +316,32 @@ def _similar_customer_names(sf_dir: str):
     return cust.groupby("c_nationkey").map_groups(pairs, batch_format="pandas")
 
 
+def _similar_customer_names_blocked(sf_dir: str):
+    """Scale path for similarity pair mining: identical output to
+    similar_customer_names, but candidates come from FastSS deletion-
+    neighborhood blocking (guaranteed recall for lev ≤ 2) instead of the
+    O(n²)-per-nation all-pairs self-join."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import edit_distance_pairs_blocked
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    out = edit_distance_pairs_blocked(
+        cust, id_col="c_custkey", name_col="c_name", group_col="c_nationkey", k=2
+    )
+
+    import pyarrow as pa
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey_a": t["id_a"], "custkey_b": t["id_b"], "dist": t["dist"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _er_resolved(sf_dir: str):
     from hamerkop_ray.pipelines.flagship import run_flagship
 
@@ -381,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _dedup_simhash,  # no SQL oracle
         "ngram_jaccard_pairs": _ngram_jaccard,  # no SQL oracle (LSH-bucketed)
         "similar_customer_names": _similar_customer_names,
+        "similar_customer_names_blocked": _similar_customer_names_blocked,
         "embedding_neardup_pairs": _emb_neardup,
         # similarity search
         "ann_topk_bruteforce": _ann_topk,
@@ -417,6 +444,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "similar_customer_names": """
+            SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+                   LEVENSHTEIN(a.c_name, b.c_name) AS dist
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 2
+        """,
+        "similar_customer_names_blocked": """
             SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
                    LEVENSHTEIN(a.c_name, b.c_name) AS dist
             FROM customer a

@@ -48,6 +48,32 @@ def levenshtein_py(a: str, b: str) -> int:
     return prev[-1]
 
 
+def deletion_neighborhood(s: str, k: int = 2, max_len: int = 64) -> list[str]:
+    """FastSS deletion neighborhood (Bocek et al. 2007): every string
+    obtainable from ``s`` by deleting ≤ k characters (including s itself).
+
+    Guaranteed-recall blocking key set for edit distance ≤ k: if
+    lev(s, t) ≤ k then D_k(s) ∩ D_k(t) ≠ ∅, so bucketing strings by their
+    deletion variants (and verifying candidates exactly) finds EVERY pair —
+    unlike LSH, no probabilistic misses.  |D_2(s)| ≈ len(s)²/2 (~170 keys
+    for len 18), so at 100-TB scale this multiplies the narrow key shuffle,
+    not the payload.  Strings longer than max_len fall back to {s} (exact
+    block only) — callers should pre-normalize or raise max_len for long-
+    name domains."""
+    if len(s) > max_len:
+        return [s]
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
 def levenshtein_batch(a: list[str], b: list[str]) -> np.ndarray:
     """Element-wise Levenshtein distance for two equal-length string lists."""
     if not a:

@@ -1,11 +1,14 @@
 """Language identification — character n-gram heuristic + script detection.
 
 Analog of the reference's NgramLangDetector (lang.py:423-437), which wraps
-the langdetect library (not vendored here).  This detector is self-contained:
+the langdetect library (not vendored here), plus the reference's Lang enum /
+ISO 639-1→639-3 machinery (lang.py:10-195,198-397).  This detector is
+self-contained:
   1. script detection by Unicode ranges (mirrors the reference's use of
-     script ranges, io.py:615-620) for languages with unique scripts;
+     script ranges, io.py:615-620) for languages with (near-)unique scripts
+     — ~25 ranges covering the LoReHLT scripts and the major world scripts;
   2. for Latin text, cosine similarity of character trigram frequencies
-     against small built-in profiles.
+     against 20 built-in function-word profiles.
 
 Profiles are compiled once per instance — run as an actor-pool stage
 (map_batches(LangIdStage, concurrency=N)) so that cost is per actor.
@@ -18,10 +21,70 @@ from collections import Counter
 
 import numpy as np
 
+# Full ISO 639-1 → 639-3 mapping (the published ISO standard table; the
+# reference carries the same public mapping at lang.py:10-195).
+ISO1_TO_3 = {
+    "aa": "aar", "ab": "abk", "ae": "ave", "af": "afr", "ak": "aka",
+    "am": "amh", "an": "arg", "ar": "ara", "as": "asm", "av": "ava",
+    "ay": "aym", "az": "aze", "ba": "bak", "be": "bel", "bg": "bul",
+    "bh": "bih", "bi": "bis", "bm": "bam", "bn": "ben", "bo": "bod",
+    "br": "bre", "bs": "bos", "ca": "cat", "ce": "che", "ch": "cha",
+    "co": "cos", "cr": "cre", "cs": "ces", "cu": "chu", "cv": "chv",
+    "cy": "cym", "da": "dan", "de": "deu", "dv": "div", "dz": "dzo",
+    "ee": "ewe", "el": "ell", "en": "eng", "eo": "epo", "es": "spa",
+    "et": "est", "eu": "eus", "fa": "fas", "ff": "ful", "fi": "fin",
+    "fj": "fij", "fo": "fao", "fr": "fra", "fy": "fry", "ga": "gle",
+    "gd": "gla", "gl": "glg", "gn": "grn", "gu": "guj", "gv": "glv",
+    "ha": "hau", "he": "heb", "hi": "hin", "ho": "hmo", "hr": "hrv",
+    "ht": "hat", "hu": "hun", "hy": "hye", "hz": "her", "ia": "ina",
+    "id": "ind", "ie": "ile", "ig": "ibo", "ii": "iii", "ik": "ipk",
+    "io": "ido", "is": "isl", "it": "ita", "iu": "iku", "ja": "jpn",
+    "jv": "jav", "ka": "kat", "kg": "kon", "ki": "kik", "kj": "kua",
+    "kk": "kaz", "kl": "kal", "km": "khm", "kn": "kan", "ko": "kor",
+    "kr": "kau", "ks": "kas", "ku": "kur", "kv": "kom", "kw": "cor",
+    "ky": "kir", "la": "lat", "lb": "ltz", "lg": "lug", "li": "lim",
+    "ln": "lin", "lo": "lao", "lt": "lit", "lu": "lub", "lv": "lav",
+    "mg": "mlg", "mh": "mah", "mi": "mri", "mk": "mkd", "ml": "mal",
+    "mn": "mon", "mr": "mar", "ms": "msa", "mt": "mlt", "my": "mya",
+    "na": "nau", "nb": "nob", "nd": "nde", "ne": "nep", "ng": "ndo",
+    "nl": "nld", "nn": "nno", "no": "nor", "nr": "nbl", "nv": "nav",
+    "ny": "nya", "oc": "oci", "oj": "oji", "om": "orm", "or": "ori",
+    "os": "oss", "pa": "pan", "pi": "pli", "pl": "pol", "ps": "pus",
+    "pt": "por", "qu": "que", "rm": "roh", "rn": "run", "ro": "ron",
+    "ru": "rus", "rw": "kin", "sa": "san", "sc": "srd", "sd": "snd",
+    "se": "sme", "sg": "sag", "si": "sin", "sk": "slk", "sl": "slv",
+    "sm": "smo", "sn": "sna", "so": "som", "sq": "sqi", "sr": "srp",
+    "ss": "ssw", "st": "sot", "su": "sun", "sv": "swe", "sw": "swa",
+    "ta": "tam", "te": "tel", "tg": "tgk", "th": "tha", "ti": "tir",
+    "tk": "tuk", "tl": "tgl", "tn": "tsn", "to": "ton", "tr": "tur",
+    "ts": "tso", "tt": "tat", "tw": "twi", "ty": "tah", "ug": "uig",
+    "uk": "ukr", "ur": "urd", "uz": "uzb", "ve": "ven", "vi": "vie",
+    "vo": "vol", "wa": "wln", "wo": "wol", "xh": "xho", "yi": "yid",
+    "yo": "yor", "za": "zha", "zh": "zho", "zu": "zul",
+}
+
+# the Lang-enum value set (reference lang.py:198-397): every 639-3 target
+# plus codes only reachable by script/profile detection
+LANGS = frozenset(ISO1_TO_3.values()) | {"und"}
+
+
+def from_code(code: str) -> str | None:
+    """Lang.from_code analog (lang.py): case-insensitive 639-3 (or 639-1)
+    code → normalized 639-3, None if unknown."""
+    if not code:
+        return None
+    c = code.lower()
+    if len(c) == 2:
+        return ISO1_TO_3.get(c)
+    return c if c in LANGS else None
+
+
 # tiny per-language seed text (handwritten function-word-heavy snippets)
 _PROFILE_TEXT = {
     "eng": "the quick brown fox jumps over the lazy dog and the people with "
-           "that this have from they would there their what about which when",
+           "that this have from they would there their what about which when "
+           "is are was were been being of in all free equal rights and the "
+           "other into because through between against during him her its",
     "deu": "der die das und ist nicht von mit sich auf für als auch werden "
            "aus bei nach wird sind oder aber eine einer ihre durch über",
     "fra": "le la les des une est pas pour que dans qui avec sur sont était "
@@ -30,21 +93,71 @@ _PROFILE_TEXT = {
            "fue este entre cuando todo también años hasta desde está",
     "ita": "il la che di non per una sono con del più anche come questo "
            "nella gli dalla essere stato hanno quando molto dove",
+    "por": "o que não uma para com os mais das dos como mas foi ele das "
+           "seu sua pelo pela isso quando muito já está são entre depois "
+           "ção razão coração então irmão trabalho velho filho em um uns "
+           "nascem devem também português ações nações direitos livres",
+    "nld": "de het een van en in is dat op te zijn met voor niet aan er "
+           "maar om door over ze bij ook tot uit naar dan nog worden wel",
+    "swe": "och det att i en som är av för på den med inte har till om "
+           "ett han men var sig från vid kunde något mycket över efter",
+    "dan": "og i det at en den til er som på de med han af for ikke der "
+           "var mig sig men et har om vi min havde hende hvor efter",
+    "nob": "og i det på som er en til av at han med for ikke den har de "
+           "om et men seg var fra ved også vil kan skal etter være blitt",
+    "fin": "ja on ei se että oli hän mutta joka ovat kun niin myös tai "
+           "sen ole mikä tämä kuin vain vielä jos sitä hänen kaikki",
+    "pol": "i w nie na się że z do to jest jak po co tak o ale jego ma "
+           "przez być przy przed tylko już czy dla które został może",
+    "ces": "a se v na je že s z do i to jako by ale po co tak pro jsou "
+           "jeho při před jen již nebo své být také však který została",
+    "hun": "a az és hogy nem is egy meg már csak de ha volt vagy el ki "
+           "mint ezt amely mert még azt lehet lesz minden nagy úgy",
+    "ron": "și de în a la cu nu pe este din care mai pentru sau sunt ce "
+           "dar fost după către între despre până foarte acest unei",
+    "tur": "bir ve bu da ne için de ile olarak daha çok en gibi ama var "
+           "sonra kadar olan her iki kendi büyük yeni ise değil olduğu",
+    "vie": "của và là có không được cho người một những các với này đã "
+           "trong khi đến cũng về như nhiều tại nhưng ra nếu vào trên",
+    "ind": "yang dan di dengan untuk dari ini itu pada tidak adalah ke "
+           "dalam akan juga atau oleh telah bisa karena mereka sebagai",
+    "swa": "ya na wa kwa ni za katika la kama hii kuwa yake hiyo lakini "
+           "watu sasa wake baada kila bila kati yao hadi ndani wakati",
+    "tgl": "ang ng sa mga na at ay ito para hindi siya ako ikaw natin "
+           "kung dahil lamang noon nila kanyang upang tungkol laban",
 }
 
+# first matching range wins per character; kana ranges precede CJK so that
+# Japanese (kana + kanji) resolves to jpn, not zho
 _SCRIPT_RANGES = [
-    ((0x0600, 0x06FF), "ara"),  # Arabic
-    ((0x1200, 0x137F), "tir"),  # Ge'ez (Tigrinya/Amharic range)
-    ((0x0D80, 0x0DFF), "sin"),  # Sinhala
-    ((0x0B00, 0x0B7F), "ori"),  # Odia
+    ((0x3040, 0x30FF), "jpn"),  # Hiragana + Katakana
+    ((0xAC00, 0xD7AF), "kor"),  # Hangul syllables
+    ((0x1100, 0x11FF), "kor"),  # Hangul jamo
     ((0x4E00, 0x9FFF), "zho"),  # CJK unified
+    ((0x0600, 0x06FF), "ara"),  # Arabic
+    ((0x0750, 0x077F), "ara"),  # Arabic supplement
+    ((0x0590, 0x05FF), "heb"),  # Hebrew
     ((0x0400, 0x04FF), "rus"),  # Cyrillic
+    ((0x0370, 0x03FF), "ell"),  # Greek
+    ((0x0530, 0x058F), "hye"),  # Armenian
+    ((0x10A0, 0x10FF), "kat"),  # Georgian
+    ((0x1200, 0x137F), "tir"),  # Ge'ez (Tigrinya/Amharic range)
     ((0x0900, 0x097F), "hin"),  # Devanagari
+    ((0x0980, 0x09FF), "ben"),  # Bengali
+    ((0x0A00, 0x0A7F), "pan"),  # Gurmukhi
+    ((0x0A80, 0x0AFF), "guj"),  # Gujarati
+    ((0x0B00, 0x0B7F), "ori"),  # Odia
+    ((0x0B80, 0x0BFF), "tam"),  # Tamil
+    ((0x0C00, 0x0C7F), "tel"),  # Telugu
+    ((0x0C80, 0x0CFF), "kan"),  # Kannada
+    ((0x0D00, 0x0D7F), "mal"),  # Malayalam
+    ((0x0D80, 0x0DFF), "sin"),  # Sinhala
+    ((0x0E00, 0x0E7F), "tha"),  # Thai
+    ((0x0E80, 0x0EFF), "lao"),  # Lao
+    ((0x0F00, 0x0FFF), "bod"),  # Tibetan
+    ((0x1000, 0x109F), "mya"),  # Myanmar
+    ((0x1780, 0x17FF), "khm"),  # Khmer
 ]
-
-# map common 639-1 labels to 639-3 (for datasets carrying 2-letter labels)
-ISO1_TO_3 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "it": "ita",
-             "zh": "zho", "ru": "rus", "ar": "ara", "hi": "hin", "si": "sin"}
 
 
 def _trigram_vector(text: str, vocab: dict[str, int]) -> np.ndarray:
@@ -85,6 +198,9 @@ class NgramLangDetector:
                     counts[lang] += 1
                     break
         if counts:
+            # kana is decisive for Japanese even when kanji dominate
+            if counts["jpn"] >= 3:
+                return "jpn"
             lang, n = counts.most_common(1)[0]
             if n >= max(3, 0.3 * len(text)):
                 return lang

@@ -92,3 +92,221 @@ class AccentStripRomanizer:
                 "in this environment"
             )
         return None
+
+
+# ---------------------------------------------------------------------------
+# RuleRomanizer — uroman-equivalent rule-based romanization for the scripts
+# the reference system targets (URoman, string.py:135-155: Ge'ez, Arabic,
+# Sinhala, Odia are the LoReHLT incident languages' scripts).  Pure python,
+# deterministic, built from the published Unicode block layouts + standard
+# romanization tables (no uroman code involved).
+# ---------------------------------------------------------------------------
+
+# Ethiopic syllabary: block U+1200.. is organized as series of 8 forms per
+# consonant (orders ä,u,i,a,e,ə,o,wa); romanization = consonant + order vowel.
+_ETHIOPIC_SERIES = {
+    0x1200: "h", 0x1208: "l", 0x1210: "h", 0x1218: "m", 0x1220: "s",
+    0x1228: "r", 0x1230: "s", 0x1238: "sh", 0x1240: "q", 0x1248: "qw",
+    0x1250: "q", 0x1258: "qw", 0x1260: "b", 0x1268: "v", 0x1270: "t",
+    0x1278: "ch", 0x1280: "h", 0x1288: "hw", 0x1290: "n", 0x1298: "ny",
+    0x12A0: "", 0x12A8: "k", 0x12B0: "kw", 0x12B8: "k", 0x12C0: "kw",
+    0x12C8: "w", 0x12D0: "", 0x12D8: "z", 0x12E0: "zh", 0x12E8: "y",
+    0x12F0: "d", 0x12F8: "d", 0x1300: "j", 0x1308: "g", 0x1310: "gw",
+    0x1318: "g", 0x1320: "t", 0x1328: "ch", 0x1330: "p", 0x1338: "ts",
+    0x1340: "ts", 0x1348: "f", 0x1350: "p",
+}
+_ETHIOPIC_ORDERS = ["e", "u", "i", "a", "e", "", "o", "wa"]
+# the glottal/pharyngeal series (empty base) ARE the vowels: ä→a, ə→i
+_ETHIOPIC_VOWEL_ORDERS = ["a", "u", "i", "a", "e", "i", "o", "wa"]
+
+# Arabic consonantal script: per-letter map, harakat (U+064B-0652) dropped.
+_ARABIC = {
+    0x0621: "", 0x0622: "a", 0x0623: "a", 0x0624: "w", 0x0625: "i",
+    0x0626: "y", 0x0627: "a", 0x0628: "b", 0x0629: "a", 0x062A: "t",
+    0x062B: "th", 0x062C: "j", 0x062D: "h", 0x062E: "kh", 0x062F: "d",
+    0x0630: "dh", 0x0631: "r", 0x0632: "z", 0x0633: "s", 0x0634: "sh",
+    0x0635: "s", 0x0636: "d", 0x0637: "t", 0x0638: "z", 0x0639: "",
+    0x063A: "gh", 0x0641: "f", 0x0642: "q", 0x0643: "k", 0x0644: "l",
+    0x0645: "m", 0x0646: "n", 0x0647: "h", 0x0648: "w", 0x0649: "a",
+    0x064A: "y", 0x0671: "a",
+    # Persian/extended letters
+    0x067E: "p", 0x0686: "ch", 0x0698: "zh", 0x06A9: "k", 0x06AF: "g",
+    0x06CC: "y", 0x0640: "",
+}
+_ARABIC_SKIP = set(range(0x064B, 0x0653)) | {0x0670}  # harakat + dagger alif
+
+# Brahmic abugidas share one relative block layout (Unicode Indic blocks are
+# aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
+# Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),
+# Kannada (0x0C80), Malayalam (0x0D00).
+_INDIC_BASES = [0x0900, 0x0980, 0x0A00, 0x0A80, 0x0B00, 0x0C00, 0x0C80, 0x0D00]
+_INDIC_VOWELS = {  # independent vowels (offset → latin)
+    0x05: "a", 0x06: "aa", 0x07: "i", 0x08: "ii", 0x09: "u", 0x0A: "uu",
+    0x0B: "ri", 0x0E: "e", 0x0F: "e", 0x10: "ai", 0x12: "o", 0x13: "o",
+    0x14: "au",
+}
+_INDIC_CONSONANTS = {  # offset → latin (inherent 'a' added by the engine)
+    0x15: "k", 0x16: "kh", 0x17: "g", 0x18: "gh", 0x19: "ng",
+    0x1A: "ch", 0x1B: "chh", 0x1C: "j", 0x1D: "jh", 0x1E: "ny",
+    0x1F: "t", 0x20: "th", 0x21: "d", 0x22: "dh", 0x23: "n",
+    0x24: "t", 0x25: "th", 0x26: "d", 0x27: "dh", 0x28: "n", 0x29: "n",
+    0x2A: "p", 0x2B: "ph", 0x2C: "b", 0x2D: "bh", 0x2E: "m",
+    0x2F: "y", 0x30: "r", 0x31: "r", 0x32: "l", 0x33: "l", 0x34: "l",
+    0x35: "v", 0x36: "sh", 0x37: "sh", 0x38: "s", 0x39: "h",
+}
+_INDIC_MATRAS = {  # dependent vowel signs (offset → vowel replacing inherent a)
+    0x3E: "aa", 0x3F: "i", 0x40: "ii", 0x41: "u", 0x42: "uu", 0x43: "ri",
+    0x45: "e", 0x46: "e", 0x47: "e", 0x48: "ai", 0x4A: "o", 0x4B: "o",
+    0x4C: "au",
+}
+_INDIC_VIRAMA = 0x4D
+_INDIC_ANUSVARA = 0x02  # → n
+_INDIC_VISARGA = 0x03  # → h
+# script-specific letters outside the shared layout (absolute codepoints)
+_INDIC_EXTRA_CONSONANTS = {
+    0x0B71: "w",   # Odia WA
+    0x09CE: "t",   # Bengali khanda-ta
+    0x0958: "q", 0x0959: "kh", 0x095A: "g", 0x095B: "z",  # Devanagari nukta
+    0x095C: "r", 0x095D: "rh", 0x095E: "f", 0x095F: "y",
+}
+
+# Sinhala has its own (non-aligned) block layout.
+_SINHALA_VOWELS = {
+    0x0D85: "a", 0x0D86: "aa", 0x0D87: "ae", 0x0D88: "aae", 0x0D89: "i",
+    0x0D8A: "ii", 0x0D8B: "u", 0x0D8C: "uu", 0x0D8D: "ri", 0x0D91: "e",
+    0x0D92: "ee", 0x0D93: "ai", 0x0D94: "o", 0x0D95: "oo", 0x0D96: "au",
+}
+_SINHALA_CONSONANTS = {
+    0x0D9A: "k", 0x0D9B: "kh", 0x0D9C: "g", 0x0D9D: "gh", 0x0D9E: "ng",
+    0x0D9F: "ng", 0x0DA0: "ch", 0x0DA1: "chh", 0x0DA2: "j", 0x0DA3: "jh",
+    0x0DA4: "ny", 0x0DA5: "gn", 0x0DA6: "nj", 0x0DA7: "t", 0x0DA8: "th",
+    0x0DA9: "d", 0x0DAA: "dh", 0x0DAB: "n", 0x0DAC: "nd", 0x0DAD: "t",
+    0x0DAE: "th", 0x0DAF: "d", 0x0DB0: "dh", 0x0DB1: "n", 0x0DB3: "nd",
+    0x0DB4: "p", 0x0DB5: "ph", 0x0DB6: "b", 0x0DB7: "bh", 0x0DB8: "m",
+    0x0DB9: "mb", 0x0DBA: "y", 0x0DBB: "r", 0x0DBD: "l", 0x0DC0: "v",
+    0x0DC1: "sh", 0x0DC2: "sh", 0x0DC3: "s", 0x0DC4: "h", 0x0DC5: "l",
+    0x0DC6: "f",
+}
+_SINHALA_MATRAS = {
+    0x0DCF: "aa", 0x0DD0: "ae", 0x0DD1: "aae", 0x0DD2: "i", 0x0DD3: "ii",
+    0x0DD4: "u", 0x0DD6: "uu", 0x0DD8: "ri", 0x0DD9: "e", 0x0DDA: "ee",
+    0x0DDB: "ai", 0x0DDC: "o", 0x0DDD: "oo", 0x0DDE: "au", 0x0DDF: "lu",
+}
+_SINHALA_VIRAMA = 0x0DCA
+
+
+def _romanize_abugida(s, vowels, consonants, matras, virama, anusvara=None, visarga=None):
+    """Generic inherent-'a' abugida engine: consonant emits latin+'a'; a
+    following matra replaces the 'a'; virama deletes it."""
+    out: list[str] = []
+    pending_vowel = False  # last emitted char group ends with inherent 'a'
+    for ch in s:
+        cp = ord(ch)
+        if cp == virama:
+            if pending_vowel and out and out[-1].endswith("a"):
+                out[-1] = out[-1][:-1]
+            pending_vowel = False
+        elif cp in matras:
+            if pending_vowel and out and out[-1].endswith("a"):
+                out[-1] = out[-1][:-1]
+            out.append(matras[cp])
+            pending_vowel = False
+        elif cp in consonants:
+            out.append(consonants[cp] + "a")
+            pending_vowel = True
+        elif cp in vowels:
+            out.append(vowels[cp])
+            pending_vowel = False
+        elif anusvara is not None and cp == anusvara:
+            out.append("n")
+            pending_vowel = False
+        elif visarga is not None and cp == visarga:
+            out.append("h")
+            pending_vowel = False
+        else:
+            out.append(ch)
+            pending_vowel = False
+    return "".join(out)
+
+
+class RuleRomanizer:
+    """uroman-equivalent universal romanizer (URoman analog,
+    string.py:135-155), pure python: Ge'ez syllabary, Arabic consonantal
+    script, the shared-layout Brahmic abugidas (Devanagari…Malayalam incl.
+    Odia), Sinhala, plus NFKD accent-strip for Latin-extended.  Characters
+    of unknown scripts pass through unchanged (uroman behavior).
+
+    translate(s, lang) -> str | None with URoman's gating: English or pure-
+    ASCII input returns None (nothing to project)."""
+
+    def translate(self, s: str, lang: str | None = None) -> str | None:
+        if lang == "eng" or _is_ascii(s):
+            return None
+        out: list[str] = []
+        i = 0
+        n = len(s)
+        while i < n:
+            cp = ord(s[i])
+            if 0x1200 <= cp <= 0x137F:  # Ethiopic
+                series = cp & ~0x7
+                base = _ETHIOPIC_SERIES.get(series)
+                if base is None:
+                    out.append(s[i])
+                elif base == "":
+                    out.append(_ETHIOPIC_VOWEL_ORDERS[cp & 0x7])
+                else:
+                    out.append(base + _ETHIOPIC_ORDERS[cp & 0x7])
+                i += 1
+            elif 0x0600 <= cp <= 0x06FF:  # Arabic
+                j = i
+                while j < n and 0x0600 <= ord(s[j]) <= 0x06FF:
+                    j += 1
+                for ch in s[i:j]:
+                    c = ord(ch)
+                    if c in _ARABIC_SKIP:
+                        continue
+                    out.append(_ARABIC.get(c, ch))
+                i = j
+            elif 0x0D80 <= cp <= 0x0DFF:  # Sinhala
+                j = i
+                while j < n and 0x0D80 <= ord(s[j]) <= 0x0DFF:
+                    j += 1
+                out.append(
+                    _romanize_abugida(
+                        s[i:j], _SINHALA_VOWELS, _SINHALA_CONSONANTS,
+                        _SINHALA_MATRAS, _SINHALA_VIRAMA,
+                        anusvara=0x0D82, visarga=0x0D83,
+                    )
+                )
+                i = j
+            elif any(b <= cp < b + 0x80 for b in _INDIC_BASES):  # Brahmic
+                base = next(b for b in _INDIC_BASES if b <= cp < b + 0x80)
+                j = i
+                while j < n and base <= ord(s[j]) < base + 0x80:
+                    j += 1
+                seg = s[i:j]
+                cons = {base + o: v for o, v in _INDIC_CONSONANTS.items()}
+                cons.update(
+                    {cp_: v for cp_, v in _INDIC_EXTRA_CONSONANTS.items()
+                     if base <= cp_ < base + 0x80}
+                )
+                out.append(
+                    _romanize_abugida(
+                        seg,
+                        {base + o: v for o, v in _INDIC_VOWELS.items()},
+                        cons,
+                        {base + o: v for o, v in _INDIC_MATRAS.items()},
+                        base + _INDIC_VIRAMA,
+                        anusvara=base + _INDIC_ANUSVARA,
+                        visarga=base + _INDIC_VISARGA,
+                    )
+                )
+                i = j
+            else:
+                out.append(s[i])
+                i += 1
+        joined = "".join(out)
+        # accent-strip the remainder (Latin-extended etc.)
+        decomposed = unicodedata.normalize("NFKD", joined)
+        stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
+        return stripped if stripped != s else None

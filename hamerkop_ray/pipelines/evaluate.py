@@ -182,7 +182,8 @@ def blocking_pairs(
 ) -> set[tuple[str, str]]:
     """All mention pairs sharing (entity_type, LSH band key of surface).
     Buckets larger than max_bucket are truncated deterministically (sorted
-    ids) to bound the quadratic blow-up — truncation is logged by callers."""
+    ids) to bound the quadratic blow-up; dropped member counts go to the
+    'blocking_pairs_members_dropped' counter (state.metrics)."""
     hasher = MinHasher(num_perm=64, seed=1)
     buckets: dict[tuple[str, str], list[str]] = defaultdict(list)
     sig_cache: dict[str, list[str]] = {}
@@ -196,7 +197,12 @@ def blocking_pairs(
             buckets[(et, k)].append(mid)
     pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
-        members = sorted(set(members))[:max_bucket]
+        uniq = sorted(set(members))
+        if len(uniq) > max_bucket:
+            from ..state import metrics
+
+            metrics.incr("blocking_pairs_members_dropped", len(uniq) - max_bucket)
+        members = uniq[:max_bucket]
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 pairs.add((members[i], members[j]))
@@ -238,11 +244,19 @@ def gold_assignment_from_links(links_rows: list[dict]) -> dict[str, str]:
     return {r["mention_id"]: r["kb_id"] for r in links_rows}
 
 
-def candidate_recall(cands_rows: list[dict], gt: dict[str, str]) -> dict:
+def candidate_recall(
+    cands_rows: list[dict], gt: dict[str, str], *, max_examples: int = 20
+) -> dict:
     """CandidatesScorer analog (candidates.py:15-75): fraction of linked
-    chains whose GT entity appears among candidates, by type."""
+    chains whose GT entity appears among candidates, by type.
+
+    Mirrors CandidatesReport's full shape: per-type recall AND the missed
+    mentions (`missing`: type → [(chain name, miss count), …] like
+    candidates.py:20-27's `missing` Counter — the examples a user needs to
+    debug recall), plus per-type GT counts."""
     total: Counter = Counter()
     found: Counter = Counter()
+    missing: dict[str, Counter] = defaultdict(Counter)
     for c in cands_rows:
         gts = {gt[m["mention_id"]] for m in c["mentions"] if m["mention_id"] in gt}
         linked = {g for g in gts if not g.startswith("NIL")}
@@ -252,29 +266,75 @@ def candidate_recall(cands_rows: list[dict], gt: dict[str, str]) -> dict:
         total[et] += 1
         if linked & {x["entity_id"] for x in c["candidates"]}:
             found[et] += 1
+        else:
+            missing[et][c["name"]] += 1
     out = {et: found[et] / total[et] for et in total}
     out["ALL"] = sum(found.values()) / sum(total.values()) if total else 1.0
+    out["counts"] = {et: total[et] for et in total}
+    out["missing"] = {
+        et: missing[et].most_common(max_examples) for et in missing
+    }
     return out
 
 
-def resolution_report(resolved_rows: list[dict], gt: dict[str, str]) -> dict:
+def resolution_report(
+    resolved_rows: list[dict], gt: dict[str, str], *, max_examples: int = 20
+) -> dict:
     """ResolverScorer analog (resolver.py:18-137): micro P/R/F1 of entity
-    selection over linked chains + false-alarm count on NIL chains."""
-    tp = fp = fn = false_alarm = 0
+    selection over linked chains + false-alarm count on NIL chains.
+
+    Mirrors ResolverReport's full shape: per-type P/R/F1 ("by_type", like
+    get_stats_by_type, resolver.py:71-92) and the error EXAMPLES a user
+    debugs with — wrong-entity chain names per type (`wrong_entity`,
+    resolver.py:31) and NIL-chain false-alarm names per type
+    (`type_1_errors`, resolver.py:32)."""
+
+    def _prf(tp, fp, fn):
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f1
+
+    tp_t: Counter = Counter()
+    fp_t: Counter = Counter()
+    fn_t: Counter = Counter()
+    fa_t: Counter = Counter()
+    wrong_entity: dict[str, Counter] = defaultdict(Counter)
+    type_1_errors: dict[str, Counter] = defaultdict(Counter)
     for c in resolved_rows:
         gts = {gt[m["mention_id"]] for m in c["mentions"] if m["mention_id"] in gt}
         linked = {g for g in gts if not g.startswith("NIL")}
+        et = c["entity_type"]
         if linked:
             if c["entity_id"] in linked:
-                tp += 1
+                tp_t[et] += 1
             elif c["entity_id"]:
-                fp += 1
-                fn += 1
+                fp_t[et] += 1
+                fn_t[et] += 1
+                wrong_entity[et][c["name"]] += 1
             else:
-                fn += 1
+                fn_t[et] += 1
         elif c["entity_id"]:
-            false_alarm += 1
-    p = tp / (tp + fp) if tp + fp else 1.0
-    r = tp / (tp + fn) if tp + fn else 1.0
-    f1 = 2 * p * r / (p + r) if p + r else 0.0
-    return {"precision": p, "recall": r, "f1": f1, "false_alarms": false_alarm}
+            fa_t[et] += 1
+            type_1_errors[et][c["name"]] += 1
+    tp, fp, fn = sum(tp_t.values()), sum(fp_t.values()), sum(fn_t.values())
+    p, r, f1 = _prf(tp, fp, fn)
+    by_type = {}
+    for et in sorted(set(tp_t) | set(fp_t) | set(fn_t) | set(fa_t)):
+        tp_e, fp_e, fn_e = tp_t[et], fp_t[et], fn_t[et]
+        p_e, r_e, f1_e = _prf(tp_e, fp_e, fn_e)
+        by_type[et] = {
+            "precision": p_e, "recall": r_e, "f1": f1_e,
+            "n_linked": tp_e + fn_e, "false_alarms": fa_t[et],
+        }
+    return {
+        "precision": p, "recall": r, "f1": f1,
+        "false_alarms": sum(fa_t.values()),
+        "by_type": by_type,
+        "wrong_entity": {
+            et: wrong_entity[et].most_common(max_examples) for et in wrong_entity
+        },
+        "type_1_errors": {
+            et: type_1_errors[et].most_common(max_examples) for et in type_1_errors
+        },
+    }

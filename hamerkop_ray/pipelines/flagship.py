@@ -173,6 +173,17 @@ def run_flagship(
         clustered = resolved.map_batches(_singleton_clusters, batch_format="pyarrow")
         return {"chains": clustered, "mentions": _explode(clustered)}
 
+    clustered = cluster_resolved(resolved)
+    return {"chains": clustered, "mentions": _explode(clustered)}
+
+
+def cluster_resolved(resolved):
+    """Resolved chains → chains + cluster_id (transitive clustering).
+
+    Shared by run_flagship and the checkpointed runner (the checkpointed
+    path previously had an unvectorized twin — VERDICT r1 #6)."""
+    import ray
+
     resolved = resolved.materialize()  # consumed twice: edges + assignment
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -230,8 +241,7 @@ def run_flagship(
         out = mapped.where(mapped.notna(), ent_fallback.where(ent != "", nil))
         return t.append_column("cluster_id", pa.array(out.tolist(), pa.string()))
 
-    clustered = resolved.map_batches(assign_clusters, batch_format="pyarrow")
-    return {"chains": clustered, "mentions": _explode(clustered)}
+    return resolved.map_batches(assign_clusters, batch_format="pyarrow")
 
 
 def _singleton_clusters(t: pa.Table) -> pa.Table:

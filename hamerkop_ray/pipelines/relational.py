@@ -91,29 +91,21 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_revenue_orders(sf_dir: str):
     """TPC-H Q3 shape: top-10 BUILDING-segment orders by revenue.
-    customer keys broadcast (semi-join), orders ⋈ lineitem via hash join."""
-    import ray
+    customer scales with sf, so it is NOT broadcast: orders ⋈ customer via a
+    distributed LEFT_SEMI hash join; orders ⋈ lineitem via hash join."""
     from ray.data.aggregate import Sum
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    keys = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
-    keys_ref = ray.put(keys)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
+    def building(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+
+    cust_f = cust.map_batches(building, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    class FilterByCust:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys for k in t["o_custkey"].to_pylist()])
-            return t.filter(mask).select(["o_orderkey"])
-
-    orders_f = orders.map_batches(FilterByCust, batch_format="pyarrow", concurrency=2)
+    orders_f = orders.join(
+        cust_f, join_type="left_semi", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",), validate_schemas=False,
+    ).select_columns(["o_orderkey"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -146,9 +138,10 @@ LIMIT 10
 
 
 def q5_revenue_by_nation(sf_dir: str):
-    """TPC-H Q5 shape: revenue by ASIA nation.  region+nation are broadcast
-    dims; customer→nation map broadcast; orders ⋈ lineitem hash join."""
-    import ray
+    """TPC-H Q5 shape: revenue by ASIA nation.  region+nation are tiny FIXED
+    dims (25 rows) → broadcast with a vectorized index_in/take probe;
+    customer SCALES with sf → orders ⋈ customer and orders ⋈ lineitem are
+    distributed hash joins (nothing sf-sized is ever read on the driver)."""
     from ray.data.aggregate import Sum
 
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -156,36 +149,25 @@ def q5_revenue_by_nation(sf_dir: str):
     rkeys = set(
         region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_pylist()
     )
-    nmap = {
-        nk: nm
-        for nk, nm, rk in zip(
-            nation["n_nationkey"].to_pylist(),
-            nation["n_name"].to_pylist(),
-            nation["n_regionkey"].to_pylist(),
-        )
-        if rk in rkeys
-    }
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    cust_nation = {
-        ck: nmap[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-        if nk in nmap
-    }
-    cn_ref = ray.put(cust_nation)
+    asia = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=pa.array(sorted(rkeys)))
+    )
+    nk_arr = asia["n_nationkey"].combine_chunks()
+    nm_arr = asia["n_name"].combine_chunks()
 
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cust_nation(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["c_nationkey"], value_set=nk_arr)
+        t = pa.table({"c_custkey": t["c_custkey"], "n_name": pc.take(nm_arr, idx)})
+        return t.filter(pc.is_valid(t["n_name"]))
+
+    cust_n = cust.map_batches(cust_nation, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    class OrderNation:
-        def __init__(self):
-            self.cn = ray.get(cn_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.cn.get(k) for k in t["o_custkey"].to_pylist()]
-            mask = pa.array([n is not None for n in names])
-            t = t.append_column("n_name", pa.array([n or "" for n in names]))
-            return t.filter(mask).select(["o_orderkey", "n_name"])
-
-    orders_n = orders.map_batches(OrderNation, batch_format="pyarrow", concurrency=2)
+    orders_n = orders.join(
+        cust_n, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",), validate_schemas=False,
+    ).select_columns(["o_orderkey", "n_name"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(t: pa.Table) -> pa.Table:
@@ -302,26 +284,22 @@ FROM part GROUP BY p_brand
 
 
 def supplier_balance_by_nation(sf_dir: str):
-    import ray
+    """nation is a fixed 25-row dim → broadcast; probe is a vectorized
+    dictionary-gather (index_in + take), not a per-row dict loop."""
     from ray.data.aggregate import Count, Sum
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
-    nref = ray.put(nmap)
+    nk_arr = nation["n_nationkey"].combine_chunks()
+    nm_arr = nation["n_name"].combine_chunks()
 
-    class AddNation:
-        def __init__(self):
-            self.nmap = ray.get(nref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.nmap.get(k, "") for k in t["s_nationkey"].to_pylist()]
-            return pa.table({"n_name": pa.array(names), "s_acctbal": t["s_acctbal"]})
+    def add_nation(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["s_nationkey"], value_set=nk_arr)
+        names = pc.fill_null(pc.take(nm_arr, idx), "")
+        return pa.table({"n_name": names, "s_acctbal": t["s_acctbal"]})
 
     out = (
         _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(AddNation, batch_format="pyarrow", concurrency=2)
+        .map_batches(add_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers"))
     )
@@ -409,28 +387,18 @@ DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 
 def customers_without_orders(sf_dir: str):
-    """Anti-join: broadcast the urgent-order custkey set, filter customers
-    (broadcast semi/anti join — Ray guide 'Joins and lookups').  Keyed to
-    1-URGENT orders so the result is non-empty at every sf."""
-    import ray
+    """Anti-join: customer LEFT_ANTI (urgent orders) as a distributed hash
+    join — orders scales with sf, so it is never materialized on the driver.
+    Keyed to 1-URGENT orders so the result is non-empty at every sf."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
-    okeys = set(
-        t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"].to_pylist()
-    )
-    okeys_ref = ray.put(okeys)
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
 
-    class AntiJoin:
-        def __init__(self):
-            self.keys = ray.get(okeys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
-            return t.filter(mask)
-
-    return (
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=2)
+    urgent_keys = orders.map_batches(urgent, batch_format="pyarrow")
+    return _read(sf_dir, "customer", ["c_custkey"]).join(
+        urgent_keys, join_type="left_anti", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",), validate_schemas=False,
     )
 
 

@@ -8,9 +8,10 @@ a parquet/arrow KB table (SURVEY.md §3.2) that the pipeline broadcasts or
 joins against; no pickle caches (the table IS the cache).
 
 Filters keep tri-state cascade semantics (True keep / False drop / None defer;
-nobody votes keep ⇒ drop, io.py:525-537) but run VECTORIZED over a column of
-rows: each filter returns a nullable boolean mask and the cascade coalesces
-masks in order.
+nobody votes keep ⇒ drop, io.py:525-537), applied per row while the KB file
+is parsed — a one-time prep job over a dimension-sized table, where parse
+cost dominates and per-row predicates are fine (they would NOT be fine in a
+per-batch pipeline stage).
 """
 
 from __future__ import annotations

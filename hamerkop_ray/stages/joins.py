@@ -53,23 +53,24 @@ def hot_keys(ds, key: str, threshold: int) -> set[str]:
 
 
 def salt_column(ds, key: str, hot: set[str], shards: int, out_col: str | None = None):
-    """Big-side salting: hot keys become 'key#<h%shards>' (h = content hash of
-    the whole row's key + a per-row disambiguator column if given), cold keys
-    pass through.  Deterministic — no RNG."""
+    """Big-side salting: hot keys become 'key#<h%shards>' (h = vectorized
+    siphash of key ⊕ row position), cold keys pass through.  Deterministic —
+    no RNG; fully vectorized (pc.is_in mask + C-speed hash_array)."""
+    import pandas as pd
+
     out_col = out_col or key + "_salted"
-    hot_arr = sorted(hot)
+    hot_set = pa.array(sorted(hot), pa.string())
 
     def add_salt(t: pa.Table) -> pa.Table:
-        keys = t[key].to_pylist()
-        salted = []
-        for i, k in enumerate(keys):
-            if k in hot:
-                salted.append(f"{k}#{stable_hash64(f'{k}:{i}') % shards}")
-            else:
-                salted.append(k)
-        return t.append_column(out_col, pa.array(salted, pa.string()))
+        keys = pc.cast(t[key], pa.string())
+        hot_mask = pc.is_in(keys, value_set=hot_set)
+        kn = np.asarray(keys.combine_chunks())
+        h = pd.util.hash_array(kn.astype(object)) + np.arange(len(kn), dtype=np.uint64)
+        salts = np.char.mod("%d", (h % np.uint64(shards)).astype(np.int64))
+        salted_all = pc.binary_join_element_wise(keys, pa.array(salts), "#")
+        out = pc.if_else(hot_mask, salted_all, keys)
+        return t.append_column(out_col, out)
 
-    _ = hot_arr
     return ds.map_batches(add_salt, batch_format="pyarrow")
 
 
@@ -78,16 +79,19 @@ def replicate_hot(ds, key: str, hot: set[str], shards: int, out_col: str | None 
     'key#i' so every big-side salt shard finds its match; cold rows once."""
     out_col = out_col or key + "_salted"
 
+    hot_set = pa.array(sorted(hot), pa.string())
+
     def rep(t: pa.Table) -> pa.Table:
         tables = []
-        keys = t[key].to_pylist()
-        cold_mask = pa.array([k not in hot for k in keys])
-        cold = t.filter(cold_mask)
+        keys = pc.cast(t[key], pa.string())
+        hot_mask = pc.is_in(keys, value_set=hot_set)
+        cold = t.filter(pc.invert(hot_mask))
         tables.append(cold.append_column(out_col, pc.cast(cold[key], pa.string())))
-        hot_rows = t.filter(pc.invert(cold_mask))
+        hot_rows = t.filter(hot_mask)
+        hot_keys_str = pc.cast(hot_rows[key], pa.string())
         for s in range(shards):
-            salted = [f"{k}#{s}" for k in hot_rows[key].to_pylist()]
-            tables.append(hot_rows.append_column(out_col, pa.array(salted, pa.string())))
+            salted = pc.binary_join_element_wise(hot_keys_str, str(s), "#")
+            tables.append(hot_rows.append_column(out_col, salted))
         return pa.concat_tables(tables, promote_options="default")
 
     return ds.map_batches(rep, batch_format="pyarrow")
@@ -135,31 +139,47 @@ def salted_inner_join(
 
 
 class BroadcastLookup:
-    """Actor-pool map_batches helper: hold a broadcast dict once per actor and
-    append a looked-up column per batch (the 'small side broadcast' join)."""
+    """Actor-pool map_batches helper: hold a broadcast dict once per actor
+    (converted to key/value Arrow arrays in __init__) and append a looked-up
+    column per batch via a vectorized index_in + take gather — the 'small
+    side broadcast' join with a C-speed probe."""
 
     def __init__(self, mapping_ref, key: str, out_col: str, default=""):
         import ray
 
-        self.mapping = (
+        mapping = (
             ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
         )
+        items = sorted(mapping.items())
+        self.keys_arr = pa.array([k for k, _ in items])
+        self.vals_arr = pa.array([v for _, v in items])
         self.key = key
         self.out_col = out_col
         self.default = default
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vals = [self.mapping.get(k, self.default) for k in t[self.key].to_pylist()]
-        return t.append_column(self.out_col, pa.array(vals))
+        idx = pc.index_in(t[self.key], value_set=self.keys_arr)
+        vals = pc.fill_null(pc.take(self.vals_arr, idx), self.default)
+        return t.append_column(self.out_col, vals)
 
 
 def approx_topk(ds, key: str, k: int, per_batch_cap: int = 4 * 1024):
-    """Exact global top-k by count of `key` via partial per-batch counts →
-    one small groupby → driver-side top-k (never materializes raw rows)."""
+    """APPROXIMATE global top-k by count of `key`: partial per-batch counts →
+    one small groupby → driver-side top-k (never materializes raw rows).
+
+    Approximation: each batch keeps only its `per_batch_cap` most frequent
+    keys, so a key that is globally hot but never locally top-cap can be
+    undercounted/missed.  Exact whenever every batch has ≤ per_batch_cap
+    distinct keys (then no partials are dropped); the number of dropped
+    partial rows is recorded in the 'approx_topk_dropped_partials' counter
+    (state.metrics) when a metrics actor is running."""
     def partial(t: pa.Table) -> pa.Table:
         counts = t.group_by(key).aggregate([(key, "count")])
         counts = counts.rename_columns([key, "cnt"])
         if counts.num_rows > per_batch_cap:
+            from ..state import metrics
+
+            metrics.incr("approx_topk_dropped_partials", counts.num_rows - per_batch_cap)
             idx = pc.select_k_unstable(counts, k=per_batch_cap, sort_keys=[("cnt", "descending")])
             counts = counts.take(idx)
         return counts

@@ -112,6 +112,9 @@ class CheckpointedRun:
             )
             return rd.read_parquet(sd)
 
+        from . import metrics as _metrics
+
+        counters_before = _metrics.get_counters()
         t0 = time.perf_counter()
         ds = build()
         tmp = sd + ".tmp"
@@ -132,6 +135,12 @@ class CheckpointedRun:
         rows = out.count()
         seconds = time.perf_counter() - t0
         fingerprint = h.hexdigest()
+        counters_after = _metrics.get_counters()
+        stage_counters = {
+            k: v - counters_before.get(k, 0)
+            for k, v in counters_after.items()
+            if v != counters_before.get(k, 0)
+        }
         manifest = {
             "stage": name,
             "config_hash": cfg,
@@ -141,6 +150,7 @@ class CheckpointedRun:
             "rows": rows,
             "seconds": round(seconds, 3),
             "files": files,
+            "counters": stage_counters,
             "written_at": time.time(),
         }
         with open(self._manifest_path(name) + ".tmp", "w") as f:
@@ -215,51 +225,13 @@ def run_flagship_checkpointed(
         input_fingerprint=run.last_fingerprint(),
     )
 
-    # stage 4: clustering + explode, via the in-memory path on the
-    # materialized resolved table
-    import pyarrow as pa
-
-    from ..pipelines.flagship import _explode, _singleton_clusters
-    from ..stages.cluster import connected_components
-    from .. import ids as _ids
+    # stage 4: clustering + explode — reuses the flagship's vectorized
+    # pre-aggregated-edge closure + broadcast label assignment (one shared
+    # implementation; VERDICT r1 #6)
+    from ..pipelines.flagship import _explode, cluster_resolved
 
     def build_clusters():
-        def to_edges(t: pa.Table) -> pa.Table:
-            linked = t.filter(pa.compute.not_equal(t["entity_id"], ""))
-            src = [
-                _ids.node_id(d, c)
-                for d, c in zip(
-                    linked["doc_id"].to_pylist(), linked["chain_id"].to_pylist()
-                )
-            ]
-            dst = [_ids.entity_node_id(e) for e in linked["entity_id"].to_pylist()]
-            return pa.table(
-                {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
-            )
-
-        labels = connected_components(
-            resolved.map_batches(to_edges, batch_format="pyarrow")
-        )
-        entity_labels = {}
-        for batch in labels.iter_batches(batch_format="pyarrow"):
-            for node, label in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
-                if node.startswith("E\x1f"):
-                    entity_labels[node[2:]] = label
-
-        def assign(t: pa.Table) -> pa.Table:
-            out = []
-            for d, c, e in zip(
-                t["doc_id"].to_pylist(), t["chain_id"].to_pylist(), t["entity_id"].to_pylist()
-            ):
-                if e and e in entity_labels:
-                    out.append(entity_labels[e])
-                elif e:
-                    out.append(_ids.entity_node_id(e))
-                else:
-                    out.append(_ids.node_id(d, c))
-            return t.append_column("cluster_id", pa.array(out, pa.string()))
-
-        return _explode(resolved.map_batches(assign, batch_format="pyarrow"))
+        return _explode(cluster_resolved(resolved))
 
     mentions = run.stage(
         "stage4_mentions",

@@ -1,0 +1,151 @@
+"""Equivalence: the round-2 narrow-shuffle dedup restructure (band rows carry
+(band, id) only; signatures/texts fetched for candidates via joins) must emit
+EXACTLY the rows of the round-1 semantics (band rows carried sig/text payloads
+and buckets verified in place) — VERDICT r1 items #2/#3 'Done' criteria.
+
+The v1 semantics are replicated here driver-side (the corpus is small) from
+the round-1 implementation's logic: per-bucket id-sorted cap, in-bucket
+signature-estimate (minhash) or estimate-prefilter + exact n-gram Jaccard
+(ngram), pairs deduped across bands.
+"""
+
+import numpy as np
+import pytest
+
+from hamerkop_ray.functions.minhash import MinHasher
+from hamerkop_ray.functions.strings import shingles
+
+
+def _v1_minhash_edges(rows, threshold=0.8, bands=16, max_bucket=512):
+    h = MinHasher(num_perm=64, shingle_n=3, seed=1)
+    sigs = {str(r["doc_id"]): h.signature(r["text"]) for r in rows}
+    buckets: dict[str, list[str]] = {}
+    for r in rows:
+        i = str(r["doc_id"])
+        for key in h.band_keys(r["text"], bands):
+            buckets.setdefault(key, []).append(i)
+    edges = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:max_bucket]
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                est = float(np.mean(sigs[ids[a]] == sigs[ids[b]]))
+                if est >= threshold:
+                    edges.add((ids[a], ids[b]))
+    return edges
+
+
+def _v1_ngram_pairs(rows, threshold=0.7, bands=16, max_bucket=256, n=3):
+    h = MinHasher(num_perm=64, shingle_n=n, seed=1)
+    sigs = {str(r["doc_id"]): h.signature(r["text"]) for r in rows}
+    texts = {str(r["doc_id"]): r["text"] for r in rows}
+    buckets: dict[str, list[str]] = {}
+    for r in rows:
+        i = str(r["doc_id"])
+        for key in h.band_keys(r["text"], bands):
+            buckets.setdefault(key, []).append(i)
+    out = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:max_bucket]
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                est = float(np.mean(sigs[ids[a]] == sigs[ids[b]]))
+                if est < threshold - 0.15:
+                    continue
+                sa, sb = set(shingles(texts[ids[a]], n)), set(shingles(texts[ids[b]], n))
+                union = len(sa | sb)
+                jv = (len(sa & sb) / union) if union else 1.0
+                if jv >= threshold:
+                    out[(ids[a], ids[b])] = jv
+    return out
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    return {n: find(n) for n in parent}
+
+
+@pytest.fixture(scope="module")
+def sf_docs(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"])
+    return t.to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_restructure_equivalent(sf_docs):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import minhash_dedup
+
+    expect = _union_find_labels(sorted(_v1_minhash_edges(sf_docs)))
+    got = {
+        r["node"]: r["label"]
+        for b in minhash_dedup(
+            rd.from_items(sf_docs), threshold=0.8
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_restructure_equivalent(sf_docs):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    expect = _v1_ngram_pairs(sf_docs)
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for b in ngram_jaccard_pairs(
+            rd.from_items(sf_docs), threshold=0.7
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocked_editdist_pairs_equal_allpairs():
+    """similar_customer_names_blocked (FastSS deletion-neighborhood blocking)
+    must emit exactly the all-pairs self-join's rows (VERDICT r1 #9)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    q = entry_mod.queries()
+    allpairs = {
+        (r["custkey_a"], r["custkey_b"], r["dist"])
+        for b in q["similar_customer_names"](sf).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    blocked = {
+        (r["custkey_a"], r["custkey_b"], r["dist"])
+        for b in q["similar_customer_names_blocked"](sf).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    assert blocked == allpairs
+    assert len(allpairs) > 0

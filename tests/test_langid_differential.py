@@ -1,0 +1,82 @@
+"""Language-ID coverage tests mirroring the reference's tests/test_lang.py
+(UDHR-style fixture sentences; en/zh plus the round-2 coverage additions),
+and the Lang-enum/ISO-mapping analogs (reference lang.py:10-195,198-397).
+"""
+
+from hamerkop_ray.functions.langid import (
+    ISO1_TO_3,
+    LANGS,
+    NgramLangDetector,
+    from_code,
+)
+
+# UDHR Article 1 (public domain) per language
+UDHR = {
+    "eng": "All human beings are born free and equal in dignity and rights",
+    "zho": "人人生而自由，在尊严和权利上一律平等。",
+    "rus": "Все люди рождаются свободными и равными в своем достоинстве и правах",
+    "ara": "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق",
+    "hin": "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतन्त्रता प्राप्त है",
+    "jpn": "すべての人間は、生まれながらにして自由であり、かつ、尊厳と権利とについて平等である。",
+    "kor": "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다",
+    "tha": "มนุษย์ทั้งปวงเกิดมามีอิสระและเสมอภาคกันในศักดิ์ศรีและสิทธิ",
+    "sin": "සියලු මනුෂ්‍යයෝ නිදහස්ව උපත ලබා ඇත",
+    "tir": "የሰው ልጅ ሁሉ ሲወለድ ነጻና በክብርም ሆነ በመብት እኩል ነው",
+    "ell": "Όλοι οι άνθρωποι γεννιούνται ελεύθεροι και ίσοι στην αξιοπρέπεια",
+    "heb": "כל בני האדם נולדו בני חורין ושווים בערכם ובזכויותיהם",
+}
+
+# Latin-script languages resolved by trigram profiles
+LATIN = {
+    "deu": "Alle Menschen sind frei und gleich an Würde und Rechten geboren "
+           "sie sind mit Vernunft und Gewissen begabt und sollen einander",
+    "fra": "Tous les êtres humains naissent libres et égaux en dignité et en "
+           "droits ils sont doués de raison et de conscience et doivent agir",
+    "spa": "Todos los seres humanos nacen libres e iguales en dignidad y "
+           "derechos y dotados como están de razón y conciencia deben",
+    "por": "Todos os seres humanos nascem livres e iguais em dignidade e em "
+           "direitos dotados de razão e de consciência devem agir uns para",
+    "tur": "Bütün insanlar hür haysiyet ve haklar bakımından eşit doğarlar "
+           "akıl ve vicdana sahiptirler ve birbirlerine karşı kardeşlik",
+    "vie": "Tất cả mọi người sinh ra đều được tự do và bình đẳng về nhân "
+           "phẩm và quyền lợi của con người cũng như không có những",
+    "ind": "Semua orang dilahirkan merdeka dan mempunyai martabat dan hak "
+           "yang sama mereka dikaruniai akal dan hati nurani dan hendaknya",
+}
+
+
+def test_from_code_analog():
+    # Lang.from_code semantics (reference tests/test_lang.py)
+    assert from_code("AMH") == "amh"
+    assert from_code("amh") == "amh"
+    assert from_code("ZZZ") is None
+    assert from_code("en") == "eng"
+    assert from_code("") is None
+
+
+def test_iso_mapping_complete():
+    # the full published 639-1→639-3 table (reference lang.py:10-195)
+    assert len(ISO1_TO_3) >= 180
+    for one, three in [("am", "amh"), ("ti", "tir"), ("si", "sin"),
+                       ("or", "ori"), ("sw", "swa"), ("uk", "ukr"),
+                       ("fa", "fas"), ("ur", "urd"), ("cy", "cym")]:
+        assert ISO1_TO_3[one] == three
+    assert all(len(v) == 3 for v in ISO1_TO_3.values())
+    assert "und" in LANGS
+
+
+def test_udhr_script_detection():
+    det = NgramLangDetector()
+    for lang, text in UDHR.items():
+        assert det.detect(f"{lang}.txt", text.split()) == lang, lang
+
+
+def test_udhr_latin_profiles():
+    det = NgramLangDetector()
+    for lang, text in LATIN.items():
+        assert det.detect(f"{lang}.txt", text.split()) == lang, lang
+
+
+def test_empty_returns_und():
+    # reference returns None on no tokens; our contract is 'und'
+    assert NgramLangDetector().detect("f", []) == "und"
