@@ -188,12 +188,14 @@ _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def _ann_queries(sf_dir: str):
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    rows = {
-        r["vec_id"]: r["embedding"]
-        for r in emb.to_pylist()
-        if r["vec_id"] in _ANN_QUERY_IDS
-    }
+    """Fetch ONLY the query vectors: parquet row-group filter pushdown, not
+    a whole-table driver materialization."""
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", _ANN_QUERY_IDS)],
+    )
+    rows = dict(zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist()))
     ids = sorted(rows)
     return ids, [rows[i] for i in ids]
 
@@ -218,8 +220,10 @@ def _ann_ivf(sf_dir: str):
     import numpy as np
 
     ids, vecs = _ann_queries(sf_dir)
-    emb_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    sample = np.stack([np.asarray(v) for v in emb_tbl["embedding"].to_pylist()[:256]])
+    # centroid training sample: stream ONE 256-row batch, not the full column
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=256, columns=["embedding"]))
+    sample = np.stack([np.asarray(v) for v in first["embedding"].to_pylist()])
     cents = kmeans_lite(sample, n_clusters=8)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ivf_topk(emb, ids, vecs, k=8, centroids=cents, nprobe=3, concurrency=2).to_pandas()

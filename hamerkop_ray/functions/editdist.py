@@ -18,18 +18,34 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_DUCKDB = False
 
-_conn = None
+class _ConnHolder:
+    """Process-local DuckDB connection holder.
+
+    Connections are NOT picklable, and this module can be serialized BY
+    VALUE (cloudpickle module registration in __ray_entry__) — a bare
+    module-global connection would make every later task/actor shipment
+    fail once any driver-side call opened one.  __reduce__ makes the holder
+    serialize as an EMPTY holder, so each process lazily opens its own."""
+
+    def __init__(self):
+        self.conn = None
+
+    def __reduce__(self):
+        return (_ConnHolder, ())
+
+
+_holder = _ConnHolder()
 
 
 def _get_conn():
-    global _conn
-    if _conn is None:
-        _conn = duckdb.connect(":memory:")
+    if _holder.conn is None:
+        conn = duckdb.connect(":memory:")
         # one worker = one core: duckdb defaults to a machine-wide thread
         # pool per connection, which oversubscribes the node when dozens of
         # map_batches actors each hold a connection
-        _conn.execute("SET threads TO 1")
-    return _conn
+        conn.execute("SET threads TO 1")
+        _holder.conn = conn
+    return _holder.conn
 
 
 def levenshtein_py(a: str, b: str) -> int:

@@ -22,6 +22,15 @@ from .strings import shingles
 _MERSENNE = (1 << 61) - 1
 
 
+def _hash_strings(items: list[str]) -> np.ndarray:
+    """Vectorized deterministic u64 hash of a list of strings (pandas
+    siphash with its fixed default key — C speed, no per-string python
+    hashlib round trips, stable across processes)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(items, dtype=object)).astype(np.uint64)
+
+
 def _coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) coefficients for the universal hash family."""
     out_a = np.empty(num_perm, dtype=np.uint64)
@@ -49,12 +58,7 @@ class MinHasher:
         sh = shingles(s, self.shingle_n)
         if not sh:
             return np.zeros(1, dtype=np.uint64)
-        out = np.empty(len(sh), dtype=np.uint64)
-        for i, g in enumerate(sh):
-            out[i] = int.from_bytes(
-                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-        return out
+        return _hash_strings(sh)
 
     def signature(self, s: str) -> np.ndarray:
         """num_perm minima of (a*h + b) mod p over the shingle hashes."""
@@ -65,15 +69,17 @@ class MinHasher:
 
     def band_keys(self, s: str, bands: int = 16) -> list[str]:
         """LSH band keys: signature split into ``bands`` rows-per-band groups,
-        each band hashed to one short hex key prefixed by the band index."""
+        each band mixed to one u64 key (vectorized odd-constant polynomial
+        mix — equal bands ⇒ equal keys, which is all LSH needs) prefixed by
+        the band index."""
         sig = self.signature(s)
         rows = self.num_perm // bands
-        keys = []
-        for b in range(bands):
-            chunk = sig[b * rows : (b + 1) * rows].tobytes()
-            d = hashlib.blake2b(chunk, digest_size=8).hexdigest()
-            keys.append(f"{b}:{d}")
-        return keys
+        mat = sig[: bands * rows].reshape(bands, rows)
+        with np.errstate(over="ignore"):
+            mixed = np.zeros(bands, dtype=np.uint64)
+            for j in range(rows):
+                mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + mat[:, j]
+        return [f"{b}:{int(v):016x}" for b, v in enumerate(mixed)]
 
     def jaccard_estimate(self, sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float(np.mean(sig_a == sig_b))
@@ -90,21 +96,17 @@ def exact_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 def simhash(s: str, n: int = 3, bits: int = 64) -> int:
-    """Charikar SimHash over character n-gram shingles."""
+    """Charikar SimHash over character n-gram shingles (fully vectorized:
+    one hash kernel + one bit-matrix reduction per string)."""
     sh = shingles(s, n)
     if not sh:
         return 0
-    acc = np.zeros(bits, dtype=np.int64)
-    for g in sh:
-        h = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little"
-        )
-        bitsarr = (h >> np.arange(bits, dtype=np.uint64)) & 1
-        acc += np.where(bitsarr.astype(bool), 1, -1)
+    hs = _hash_strings(sh)  # (n_shingles,) u64
+    bitmat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
+    acc = np.where(bitmat.astype(bool), 1, -1).sum(axis=0)
     out = 0
-    for i in range(bits):
-        if acc[i] > 0:
-            out |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 

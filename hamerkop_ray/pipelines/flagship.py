@@ -98,6 +98,40 @@ class FusedERStage:
         return pa.Table.from_pylist(out, schema=RESOLVED_CHAINS)
 
 
+# process-level cache for the task-pool fused path: Ray TASKS reuse warm
+# worker processes across executions (unlike actor pools, which spawn fresh
+# actor processes per execution), so the broadcast index/KB state is
+# materialized once per worker PROCESS and reused by every later run with
+# the same refs — the "pre-warmed pool" shape for repeated/short pipelines.
+class _StageCache(dict):
+    """Serializes as EMPTY: this module may ship by value (cloudpickle
+    registration), and a populated cache must never ride along."""
+
+    def __reduce__(self):
+        return (_StageCache, ())
+
+
+_TASK_STAGE_CACHE: dict = _StageCache()
+
+
+def _fused_stage_cached(index_ref, kb_ref, gen_config, maximum_candidates):
+    key = (
+        getattr(index_ref, "hex", lambda: str(id(index_ref)))(),
+        getattr(kb_ref, "hex", lambda: str(id(kb_ref)))(),
+        tuple(tuple(g) for g in (gen_config or DEFAULT_GEN_CONFIG)),
+        maximum_candidates,
+    )
+    st = _TASK_STAGE_CACHE.get(key)
+    if st is None:
+        st = FusedERStage(
+            index=index_ref, kb=kb_ref, gen_config=gen_config,
+            maximum_candidates=maximum_candidates,
+        )
+        _TASK_STAGE_CACHE.clear()  # one live stage per worker is plenty
+        _TASK_STAGE_CACHE[key] = st
+    return st
+
+
 def run_flagship(
     docs,
     kb: pa.Table,
@@ -110,6 +144,7 @@ def run_flagship(
     batch_size: int = 128,
     do_cluster: bool = True,
     fused: bool = True,
+    use_actors: bool = True,
     cc_driver_threshold: int = 2_000_000,
 ):
     """docs: ray.data.Dataset of the documents table; kb: arrow KB table.
@@ -126,7 +161,20 @@ def run_flagship(
     index_ref = ray.put(NameIndexData(kb))
     kb_ref = ray.put({e["entity_id"]: e for e in kb.to_pylist()})
 
-    if fused:
+    if fused and not use_actors and resolvers is None and sieve_stages is None:
+        # TASK pool + per-process stage cache: tasks run in Ray's reusable
+        # worker processes, so repeated executions skip the per-run actor
+        # spawn ramp (~3-5 s of cold python processes at high parallelism);
+        # custom resolvers/sieves aren't hashable cache keys → actor path.
+        gc, mx = gen_config, maximum_candidates
+
+        def fused_fn(batch: pa.Table) -> pa.Table:
+            return _fused_stage_cached(index_ref, kb_ref, gc, mx)(batch)
+
+        resolved = docs.map_batches(
+            fused_fn, batch_format="pyarrow", batch_size=batch_size
+        )
+    elif fused:
         resolved = docs.map_batches(
             FusedERStage,
             fn_constructor_kwargs=dict(

@@ -69,6 +69,103 @@ class ParseDocuments:
         self.default_lang = default_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # the vectorized fast path covers the default configuration; the
+        # row-wise path remains for language detection (needs per-doc token
+        # lists) and for subclasses that override _parse_one (GT parse)
+        if type(self) is ParseDocuments and self.lang_detector is None:
+            return self._call_vectorized(batch)
+        return self._call_rowwise(batch)
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Arrow/numpy kernels end-to-end: the spans column never becomes
+        python objects (the to_pylist conversion was ~60% of the whole fused
+        ER stage's CPU and its memory-bandwidth hot spot)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans").combine_chunks()
+        chunk = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        n_docs = len(chunk)
+        if n_docs == 0:
+            return MENTIONS.empty_table()
+        flat = chunk.flatten()
+        kinds = flat.field("kind")
+        texts = flat.field("text")
+        offs = flat.field("offset")
+        parents = np.asarray(pc.list_parent_indices(chunk)).astype(np.int64)
+        n_spans = len(parents)
+        if n_spans == 0:
+            return MENTIONS.empty_table()
+
+        is_token = np.asarray(pc.equal(kinds, "token"))
+        is_mention = np.asarray(pc.starts_with(kinds, "mention"))
+        nsp = np.asarray(pc.count_substring(texts, " ")).astype(np.int64)
+
+        # per-span token contribution → exclusive running count within doc
+        tok_counts = np.where(is_token, 1, 0) + np.where(is_mention, nsp + 1, 0)
+        cum = np.concatenate([[0], np.cumsum(tok_counts)])
+        first_span = np.searchsorted(parents, np.arange(n_docs))  # per-doc start
+        tok_before = cum[:-1] - cum[first_span][parents]
+
+        # mention ordinal within its doc
+        mcum = np.concatenate([[0], np.cumsum(is_mention.astype(np.int64))])
+        mention_idx_all = mcum[:-1] - mcum[first_span][parents]
+
+        sel = np.nonzero(is_mention)[0]
+        if len(sel) == 0:
+            return MENTIONS.empty_table()
+        sel_arr = pa.array(sel)
+        m_texts = pc.take(texts, sel_arr)
+        m_kinds = pc.take(kinds, sel_arr)
+        m_par = parents[sel]
+
+        doc_id_col = batch.column("doc_id").combine_chunks()
+        m_doc_ids = pc.take(doc_id_col, pa.array(m_par))
+        char_start = pc.cast(pc.take(offs, sel_arr), pa.int32())
+        char_stop = pc.cast(
+            pc.add(
+                pc.cast(char_start, pa.int64()),
+                pc.subtract(pc.cast(pc.utf8_length(m_texts), pa.int64()), 1),
+            ),
+            pa.int32(),
+        )
+        etype = pc.utf8_slice_codeunits(m_kinds, 8)  # '' for bare 'mention'
+        n_toks = nsp[sel] + 1
+        tok_start = tok_before[sel]
+        mention_ids = pc.binary_join_element_wise(
+            "M", pc.cast(m_doc_ids, pa.string()),
+            pc.cast(char_start, pa.string()), pc.cast(char_stop, pa.string()),
+            "-",
+        )
+
+        # doc_type per doc (n_docs python calls on short ids — dimension-cheap)
+        dt = pa.array(
+            [detect_doc_type(d) for d in doc_id_col.to_pylist()], pa.string()
+        )
+        m_doc_types = pc.take(dt, pa.array(m_par))
+        n_m = len(sel)
+        const_empty = pa.nulls(n_m, pa.string()).fill_null("")
+        return pa.Table.from_arrays(
+            [
+                mention_ids,
+                m_doc_ids,
+                pa.array(mention_idx_all[sel].astype(np.int32)),
+                m_texts,  # surface
+                m_texts,  # norm starts equal to surface
+                const_empty,  # translit
+                const_empty,  # translate
+                etype,
+                char_start,
+                char_stop,
+                pa.array(tok_start.astype(np.int32)),
+                pa.array((tok_start + n_toks).astype(np.int32)),
+                pa.nulls(n_m, pa.string()).fill_null(self.default_lang),
+                m_doc_types,
+            ],
+            schema=MENTIONS,
+        )
+
+    def _call_rowwise(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans")
         # Flatten once per batch: one ListArray → offsets + child struct arrays.
@@ -78,7 +175,12 @@ class ParseDocuments:
             kinds = flat.field("kind").to_pylist()
             texts = flat.field("text").to_pylist()
             offs = flat.field("offset").to_pylist()
-            list_offsets = chunk.offsets.to_pylist()
+            # rebase: for a SLICED ListArray view, .offsets values index the
+            # original child while flatten() returns a rebased child — without
+            # subtracting offsets[0] every span list reads as empty/garbage
+            raw = chunk.offsets.to_pylist()
+            base = raw[0]
+            list_offsets = [o - base for o in raw]
             for i in range(len(chunk)):
                 lo, hi = list_offsets[i], list_offsets[i + 1]
                 doc_id = doc_ids[chunk_doc_offset + i]
