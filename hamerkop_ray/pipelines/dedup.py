@@ -5,27 +5,38 @@ Shapes (see /opt/skills/guides/ray_guide.md dedup pattern and the MinHash/LSH
 literature):
   exact     content-hash per batch → shuffle ONLY (hash, id) pairs (never the
             payload) → min-id winner per hash group.
-  minhash   shingle→band keys per batch → explode to NARROW (band_key, id)
-            rows (no signature payload in the band shuffle) → groupby(band)
-            → co-member candidate pairs (bucket cap counted in
-            state.metrics) → distinct pairs → signatures recomputed for the
-            (small) candidate subset only and attached via two hash joins →
-            verify by signature-estimated Jaccard → connected components
-            (stages.cluster star contraction) → (doc_id, cluster_id).
+  minhash   one signature per doc per batch → (band_key, id, sig) rows, band
+            count DERIVED from the threshold (functions.minhash.derive_bands)
+            → hash-partitioned bucket groupby → pairs VERIFIED IN-BUCKET by
+            the signature estimate (cheap numpy; the quadratic co-membership
+            pair set never leaves the bucket) → verified edges → connected
+            components (stages.cluster) → (doc_id, cluster_id).
   simhash   64-bit simhash per batch → 4×16-bit band buckets (the u64 hash
             IS the band payload — already minimal) → verify by Hamming
             distance ≤ k → components.
-  ngram     same narrow LSH bucketing; texts NEVER enter the band shuffle —
-            after the signature-estimate prefilter, surviving candidate
-            pairs are joined back to the docs table on id to fetch texts for
-            exact n-gram Jaccard verification.
+  ngram     band rows carry (band_key, id, sig, text) → in-bucket
+            signature-estimate PREFILTER (est ≥ t−0.15, the round-1
+            semantics) → in-bucket EXACT n-gram Jaccard on the survivors →
+            only verified pairs leave the task → tiny cross-band distinct.
 
-  Scale assumption (documented per SURVEY.md §4): the distinct candidate-id
-  SET (ids only, not payloads) is broadcast to filter the second docs pass —
-  LSH parameters are chosen so candidates ≪ corpus; everything payload-sized
-  (signatures, texts) stays in Datasets and moves only through small joins.
+  Round-3 notes: round 2 shipped the bucket co-pair set into a global
+  distinct + driver id sweep + parquet-staged joins BEFORE any similarity
+  prefilter; at sf0.1 that was 5.8M candidate pairs from 5k docs and a
+  123×/60× wall-time regression (VERDICT r2 'What's wrong' #1).  The fix
+  principle: LINEAR payload may ride the band shuffle (bands × (sig [+
+  text]) per doc — bounded), but anything QUADRATIC (the co-membership
+  pair set) must be filtered down to final results before it leaves the
+  bucket.  A prefilter-only variant that joined texts back to the estimate
+  survivors was measured on this corpus at 1.4M surviving pairs from 5k
+  docs (vs ~750 verified outputs) with the global distinct alone costing
+  ~340s — hence exact verification happens in-bucket for ngram, and
+  minhash emits only estimate-verified edges.  Multi-join helpers for the
+  cases that DO need chained joins live in stages.joins (sever_refs —
+  object-store block handoff, no filesystem staging; replaces round 2's
+  driver-local tempfile staging, VERDICT r2 #3).
 
-  embedding cosine near-dup within coarse blocks (numpy matmul per block).
+  embedding cosine near-dup within coarse blocks, each block split into
+  bounded chunk-pair tasks (exact, no single whole-block reducer).
 """
 
 from __future__ import annotations
@@ -37,8 +48,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.minhash import MinHasher, exact_jaccard, hamming64, simhash
+from ..functions.minhash import MinHasher, derive_bands, hamming64, simhash
 from ..stages.cluster import connected_components
+from ..stages.joins import ds_from_refs, sever_refs
 from ..state import metrics
 
 
@@ -66,135 +78,106 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
     return winners.drop_columns(["h"])
 
 
-class _MinhashBands:
-    """Narrow band rows: (band_key, id) ONLY — the 512-byte signature never
-    rides the band shuffle (16× redundant payload otherwise; VERDICT r1 #2)."""
+_EMPTY_PAIRS = pd.DataFrame(
+    {"src": pd.Series([], dtype="string"), "dst": pd.Series([], dtype="string")}
+)
 
-    def __init__(self, num_perm=64, shingle_n=3, bands=16, text_col="text", id_col="doc_id"):
+
+class _MinhashBandSigs:
+    """(band, id, sig, pkey) rows: ONE signature per doc serves both the band
+    keys and the in-bucket verification payload.  pkey hash-partitions bands
+    so bucket processing dispatches once per PARTITION (~num_partitions
+    pandas groups), not once per band (~docs×bands groups)."""
+
+    def __init__(self, num_perm=64, shingle_n=3, bands=16, text_col="text",
+                 id_col="doc_id", num_partitions=64):
         self.h = MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=1)
         self.bands = bands
         self.text_col = text_col
         self.id_col = id_col
+        self.num_partitions = num_partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, keys = [], []
+        ids, keys, sigs = [], [], []
         for i, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
-            for key in self.h.band_keys(text, self.bands):
-                ids.append(str(i))
+            sig = self.h.signature(text)
+            sb = sig.tobytes()
+            sid = str(i)
+            for key in self.h.band_keys_from_sig(sig, self.bands):
+                ids.append(sid)
                 keys.append(key)
+                sigs.append(sb)
+        pkey = (
+            pd.util.hash_array(np.asarray(keys, dtype=object))
+            % np.uint64(self.num_partitions)
+        ).astype(np.int64)
         return pa.table(
-            {"band": pa.array(keys, pa.string()), "id": pa.array(ids, pa.string())}
+            {
+                "band": pa.array(keys, pa.string()),
+                "id": pa.array(ids, pa.string()),
+                "sig": pa.array(sigs, pa.binary()),
+                "pkey": pa.array(pkey, pa.int64()),
+            }
         )
 
 
-def _bucket_copairs(max_bucket: int, counter: str):
-    """Per-bucket co-membership pairs (src < dst), deterministic cap by
-    sorted id; dropped member counts go to the state.metrics counter."""
+def _partition_bucket_pairs(threshold: float, max_bucket: int, counter: str,
+                            num_perm: int, pair_chunk: int = 1 << 17):
+    """Per-PARTITION bucket processing: every complete band bucket whose hash
+    lands in this partition is verified in place with numpy — sort by
+    (band, id), slice bucket boundaries, pairwise signature-estimate per
+    bucket, emit only pairs with est ≥ threshold.  The quadratic
+    co-membership pair set never leaves the task (VERDICT r2 #1).
+
+    Cap semantics (identical to rounds 1–2 and the equivalence-test replica):
+    per bucket, ids sorted lexicographically, first max_bucket kept, dropped
+    member count → state.metrics counter."""
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].drop_duplicates().tolist())
-        if len(ids) > max_bucket:
-            metrics.incr(counter, len(ids) - max_bucket)
-            ids = ids[:max_bucket]
-        n = len(ids)
-        # dtype="string" (NOT object): empty object columns become null-typed
-        # Arrow blocks, which break downstream hash-join schema unification
+        g = g.drop_duplicates(["band", "id"]).sort_values(["band", "id"])
+        n = len(g)
         if n < 2:
-            return pd.DataFrame({"src": pd.Series([], dtype="string"),
-                                 "dst": pd.Series([], dtype="string")})
-        iu, ju = np.triu_indices(n, k=1)
-        arr = np.asarray(ids, dtype=object)
-        return pd.DataFrame({"src": pd.Series(arr[iu], dtype="string"),
-                             "dst": pd.Series(arr[ju], dtype="string")})
-
-    return bucket_pairs
-
-
-def _distinct_pairs(pairs):
-    from ray.data.aggregate import Count
-
-    agg = pairs.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-
-    # normalize EVERY block to a typed arrow (src, dst) table: the aggregate
-    # emits zero-column pandas blocks for empty partitions, which break
-    # downstream hash-join schema unification
-    def norm(t: pa.Table) -> pa.Table:
-        if "src" not in t.column_names or t.num_rows == 0:
-            return pa.table(
-                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
-            )
-        return pa.table(
-            {"src": pc.cast(t["src"], pa.string()), "dst": pc.cast(t["dst"], pa.string())}
+            return _EMPTY_PAIRS
+        sig_mat = np.frombuffer(
+            b"".join(g["sig"].tolist()), dtype=np.uint64
+        ).reshape(n, num_perm)
+        ids = g["id"].to_numpy(dtype=object)
+        bands_arr = g["band"].to_numpy(dtype=object)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(bands_arr[1:] != bands_arr[:-1]) + 1, [n])
+        )
+        src_out, dst_out = [], []
+        dropped = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_bucket:
+                dropped += m - max_bucket
+                e = s + max_bucket
+                m = max_bucket
+            iu, ju = np.triu_indices(m, k=1)
+            bucket_sigs = sig_mat[s:e]
+            bucket_ids = ids[s:e]
+            for c in range(0, len(iu), pair_chunk):
+                ii, jj = iu[c : c + pair_chunk], ju[c : c + pair_chunk]
+                est = (bucket_sigs[ii] == bucket_sigs[jj]).mean(axis=1)
+                keep = est >= threshold
+                if keep.any():
+                    src_out.append(bucket_ids[ii[keep]])
+                    dst_out.append(bucket_ids[jj[keep]])
+        if dropped:
+            metrics.incr(counter, dropped)
+        if not src_out:
+            return _EMPTY_PAIRS
+        return pd.DataFrame(
+            {
+                "src": pd.Series(np.concatenate(src_out), dtype="string"),
+                "dst": pd.Series(np.concatenate(dst_out), dtype="string"),
+            }
         )
 
-    return agg.map_batches(norm, batch_format="pyarrow")
-
-
-def _candidate_side(docs, pairs, make_side, *, text_col: str, id_col: str):
-    """Fetch per-candidate side data (signatures / texts) WITHOUT shuffling
-    the docs table: the distinct candidate-id set (ids only) is broadcast,
-    docs stream through a vectorized is_in filter, and `make_side` computes
-    the side columns for the (small) surviving subset."""
-    import ray
-
-    ids = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        ids.update(b["src"].to_pylist())
-        ids.update(b["dst"].to_pylist())
-    id_arr_ref = ray.put(pa.array(sorted(ids), pa.string()))
-
-    class Filter:
-        def __init__(self):
-            self.id_set = ray.get(id_arr_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(pc.cast(t[id_col], pa.string()), value_set=self.id_set)
-            return make_side(t.filter(mask))
-
-    return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
-
-
-def _stage_pairs(pairs):
-    """Stage the (small) distinct candidate-pair table to parquet and read
-    it back.  Two reasons: (a) Ray Data 2.49 hash joins break on upstream
-    zero-column pandas blocks (empty aggregate partitions) and on chained
-    joins — a parquet roundtrip normalizes both; (b) the staged pair table
-    is consumed three times (id collection + two joins) without recompute.
-    Returns (pairs_ds, n_pairs, stage_dir)."""
-    import os
-    import tempfile
-
-    import ray.data as rd
-
-    stage_dir = tempfile.mkdtemp(prefix="hamerkop_pairverify_")
-    pairs_path = os.path.join(stage_dir, "pairs")
-    pairs.write_parquet(pairs_path)
-    staged = rd.read_parquet(pairs_path)
-    return staged, staged.count(), stage_dir
-
-
-def _attach_pair_sides(pairs, side, stage_dir, *, num_partitions: int = 8):
-    """pairs(src,dst) ⋈ side(id,…) on src then dst — two hash joins over
-    SMALL tables (candidates only); colliding side columns get `_b`.
-    Intermediates staged to parquet (chained joins are broken in Ray 2.49,
-    and staging avoids recomputing the side table, a docs re-scan)."""
-    import os
-
-    import ray.data as rd
-
-    side_path = os.path.join(stage_dir, "side")
-    j1_path = os.path.join(stage_dir, "j1")
-    side.write_parquet(side_path)
-    j1 = pairs.join(
-        rd.read_parquet(side_path), join_type="inner", num_partitions=num_partitions,
-        on=("src",), right_on=("id",), validate_schemas=False,
-    )
-    j1.write_parquet(j1_path)
-    return rd.read_parquet(j1_path).join(
-        rd.read_parquet(side_path), join_type="inner", num_partitions=num_partitions,
-        on=("dst",), right_on=("id",), validate_schemas=False,
-        right_suffix="_b",
-    )
+    return bucket_pairs
 
 
 def minhash_dedup(
@@ -202,67 +185,34 @@ def minhash_dedup(
     *,
     threshold: float = 0.8,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 512,
+    num_partitions: int = 64,
 ):
     """→ Dataset (node=id, label=cluster representative id) for near-dup
     groups (pairs verified at estimated Jaccard ≥ threshold).  Ids absent
     from the output are singletons.
 
-    Band shuffle carries (band, id) only; signatures are recomputed for the
-    candidate subset and attached via small hash joins (VERDICT r1 #3)."""
-    bands_ds = docs.map_batches(
-        _MinhashBands(num_perm, shingle_n, bands, text_col, id_col),
+    bands defaults to functions.minhash.derive_bands(threshold, num_perm) —
+    at 0.8 that is 8 bands × 8 rows (s*≈0.77), not the round-2 fixed 16×4
+    whose s*≈0.5 flooded the buckets (VERDICT r2 #2).  Pairs are verified
+    by the signature estimate INSIDE each bucket; only verified edges leave
+    the task, and connected components runs on that small edge set."""
+    bands = bands or derive_bands(threshold, num_perm)
+    rows = docs.map_batches(
+        _MinhashBandSigs(num_perm, shingle_n, bands, text_col, id_col,
+                         num_partitions),
         batch_format="pyarrow",
     )
-    pairs, n_pairs, stage_dir = _stage_pairs(
-        _distinct_pairs(
-            bands_ds.groupby("band").map_groups(
-                _bucket_copairs(max_bucket, "minhash_bucket_members_dropped"),
-                batch_format="pandas",
-            )
-        )
+    edges = rows.groupby("pkey").map_groups(
+        _partition_bucket_pairs(
+            threshold, max_bucket, "minhash_bucket_members_dropped", num_perm
+        ),
+        batch_format="pandas",
     )
-    if n_pairs == 0:
-        import shutil
-
-        import ray.data as rd
-
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        return rd.from_arrow(
-            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
-        )
-
-    hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n, seed=1)
-
-    def make_side(t: pa.Table) -> pa.Table:
-        sigs = [hasher.signature(s).tobytes() for s in t[text_col].to_pylist()]
-        return pa.table(
-            {"id": pc.cast(t[id_col], pa.string()), "sig": pa.array(sigs, pa.binary())}
-        )
-
-    side = _candidate_side(docs, pairs, make_side, text_col=text_col, id_col=id_col)
-    joined = _attach_pair_sides(pairs, side, stage_dir)
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
-        a = np.stack([np.frombuffer(b, dtype=np.uint64) for b in t["sig"].to_pylist()])
-        b = np.stack([np.frombuffer(x, dtype=np.uint64) for x in t["sig_b"].to_pylist()])
-        est = (a == b).mean(axis=1)
-        keep = pa.array(est >= threshold)
-        kept = t.filter(keep)
-        return pa.table(
-            {"src": pc.cast(kept["src"], pa.string()), "dst": pc.cast(kept["dst"], pa.string())}
-        )
-
-    edges = joined.map_batches(verify, batch_format="pyarrow").materialize()
-    import shutil
-
-    shutil.rmtree(stage_dir, ignore_errors=True)
     return connected_components(edges)
 
 
@@ -317,91 +267,154 @@ def simhash_dedup(docs, *, max_hamming: int = 6, text_col="text", id_col="doc_id
     return connected_components(edges)
 
 
+class _NgramBandRows(_MinhashBandSigs):
+    """Band rows carrying the text alongside the signature: linear
+    bands×(sig+text) payload per doc in the band shuffle, so both the
+    estimate prefilter AND the exact verification run inside the bucket and
+    nothing quadratic ever leaves a task."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = super().__call__(t)
+        texts = []
+        for text in t[self.text_col].to_pylist():
+            texts.extend([text] * self.bands)
+        return out.append_column("text", pa.array(texts, pa.string()))
+
+
+def _partition_bucket_jaccard(threshold: float, prefilter: float,
+                              max_bucket: int, counter: str, num_perm: int,
+                              shingle_n: int, pair_chunk: int = 1 << 17):
+    """Per-partition bucket processing for ngram Jaccard: signature-estimate
+    prefilter (est ≥ prefilter) in numpy, then EXACT character n-gram
+    Jaccard on the surviving pairs with per-member shingle sets cached
+    across the partition's buckets.  Emits only FINAL verified pairs —
+    round 2 shipped the estimate survivors into a global distinct + joins,
+    and on this corpus that is ~1.4M pairs from 5k docs (measured) against
+    ~750 verified outputs; verifying in-bucket shrinks the downstream
+    distinct by ~2000×."""
+    from ..functions.strings import shingles as _sh
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "id"]).sort_values(["band", "id"])
+        n = len(g)
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype="string"),
+             "dst": pd.Series([], dtype="string"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        sig_mat = np.frombuffer(
+            b"".join(g["sig"].tolist()), dtype=np.uint64
+        ).reshape(n, num_perm)
+        ids = g["id"].to_numpy(dtype=object)
+        texts = g["text"].to_numpy(dtype=object)
+        bands_arr = g["band"].to_numpy(dtype=object)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(bands_arr[1:] != bands_arr[:-1]) + 1, [n])
+        )
+        sh_cache: dict[str, set] = {}
+
+        def sh_of(idx: int) -> set:
+            key = ids[idx]
+            s = sh_cache.get(key)
+            if s is None:
+                s = set(_sh(texts[idx], shingle_n))
+                sh_cache[key] = s
+            return s
+
+        src_out, dst_out, jac_out = [], [], []
+        dropped = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_bucket:
+                dropped += m - max_bucket
+                e = s + max_bucket
+                m = max_bucket
+            iu, ju = np.triu_indices(m, k=1)
+            bucket_sigs = sig_mat[s:e]
+            for c in range(0, len(iu), pair_chunk):
+                ii, jj = iu[c : c + pair_chunk], ju[c : c + pair_chunk]
+                est = (bucket_sigs[ii] == bucket_sigs[jj]).mean(axis=1)
+                keep = np.flatnonzero(est >= prefilter)
+                for x in keep:
+                    a, b = s + int(ii[x]), s + int(jj[x])
+                    si, sj = sh_of(a), sh_of(b)
+                    union = len(si | sj)
+                    jv = (len(si & sj) / union) if union else 1.0
+                    if jv >= threshold:
+                        src_out.append(ids[a])
+                        dst_out.append(ids[b])
+                        jac_out.append(jv)
+        if dropped:
+            metrics.incr(counter, dropped)
+        if not src_out:
+            return empty
+        return pd.DataFrame(
+            {"src": pd.Series(src_out, dtype="string"),
+             "dst": pd.Series(dst_out, dtype="string"),
+             "jaccard": pd.Series(jac_out, dtype="float64")}
+        )
+
+    return bucket_pairs
+
+
 def ngram_jaccard_pairs(
     docs,
     *,
     threshold: float = 0.7,
     shingle_n: int = 3,
-    bands: int = 16,
+    bands: int | None = None,
     text_col="text",
     id_col="doc_id",
     max_bucket: int = 256,
+    num_perm: int = 64,
+    num_partitions: int = 64,
 ):
-    """→ Dataset (src, dst, jaccard): narrow LSH bucketing (band rows carry
-    (band, id) ONLY — document text never enters the band shuffle; VERDICT
-    r1 #2), distinct candidate pairs, then signatures+texts fetched for the
-    small candidate subset via a broadcast-id-set filter over docs and
-    attached with two small hash joins; a vectorized MinHash-signature
-    estimate prefilters, and EXACT character n-gram Jaccard verifies."""
-    bands_ds = docs.map_batches(
-        _MinhashBands(64, shingle_n, bands, text_col, id_col),
+    """→ Dataset (src, dst, jaccard): LSH bucketing with the signature
+    estimate prefilter (est ≥ threshold − 0.15, the round-1 semantics) AND
+    the exact character n-gram Jaccard verification both applied INSIDE the
+    bucket.  Band rows carry (sig, text) — a linear bands× payload per doc
+    (the same bounded-and-local trade VERDICT r2 endorsed for signatures) —
+    while only verified pairs (∝ the true duplicate rate, measured ~2000×
+    smaller than the estimate-survivor set on this corpus) reach the final
+    cross-band distinct.  No joins, no candidate-id driver sweep."""
+    from ray.data.aggregate import Min
+
+    bands = bands or derive_bands(threshold, num_perm)
+    rows = docs.map_batches(
+        _NgramBandRows(num_perm, shingle_n, bands, text_col, id_col,
+                       num_partitions),
         batch_format="pyarrow",
     )
-    pairs, n_pairs, stage_dir = _stage_pairs(
-        _distinct_pairs(
-            bands_ds.groupby("band").map_groups(
-                _bucket_copairs(max_bucket, "ngram_bucket_members_dropped"),
-                batch_format="pandas",
+    verified = rows.groupby("pkey").map_groups(
+        _partition_bucket_jaccard(
+            threshold, threshold - 0.15, max_bucket,
+            "ngram_bucket_members_dropped", num_perm, shingle_n
+        ),
+        batch_format="pandas",
+    )
+    # cross-band distinct over the SMALL verified set (jaccard is identical
+    # for every duplicate of a pair, so any aggregate of it is exact)
+    agg = verified.groupby(["src", "dst"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
+                 "jaccard": pa.array([], pa.float64())}
             )
-        )
-    )
-    empty = pa.table(
-        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string()),
-         "jaccard": pa.array([], pa.float64())}
-    )
-    if n_pairs == 0:
-        import shutil
-
-        import ray.data as rd
-
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        return rd.from_arrow(empty)
-
-    hasher = MinHasher(num_perm=64, shingle_n=shingle_n, seed=1)
-
-    def make_side(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        sigs = [hasher.signature(s).tobytes() for s in texts]
         return pa.table(
-            {"id": pc.cast(t[id_col], pa.string()),
-             "sig": pa.array(sigs, pa.binary()),
-             "text": pa.array(texts, pa.string())}
+            {"src": pc.cast(t["src"], pa.string()),
+             "dst": pc.cast(t["dst"], pa.string()),
+             "jaccard": pc.cast(t["jaccard"], pa.float64())}
         )
 
-    side = _candidate_side(docs, pairs, make_side, text_col=text_col, id_col=id_col)
-    joined = _attach_pair_sides(pairs, side, stage_dir)
-
-    from ..functions.strings import shingles as _sh
-
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty
-        a = np.stack([np.frombuffer(b, dtype=np.uint64) for b in t["sig"].to_pylist()])
-        b = np.stack([np.frombuffer(x, dtype=np.uint64) for x in t["sig_b"].to_pylist()])
-        est = (a == b).mean(axis=1)
-        cand = t.filter(pa.array(est >= threshold - 0.15))
-        src, dst, jac = [], [], []
-        for s_id, d_id, s_text, d_text in zip(
-            cand["src"].to_pylist(), cand["dst"].to_pylist(),
-            cand["text"].to_pylist(), cand["text_b"].to_pylist(),
-        ):
-            si, sj = set(_sh(s_text, shingle_n)), set(_sh(d_text, shingle_n))
-            union = len(si | sj)
-            jv = (len(si & sj) / union) if union else 1.0
-            if jv >= threshold:
-                src.append(s_id)
-                dst.append(d_id)
-                jac.append(jv)
-        return pa.table(
-            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string()),
-             "jaccard": pa.array(jac, pa.float64())}
-        )
-
-    out = joined.map_batches(verify, batch_format="pyarrow").materialize()
-    import shutil
-
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    return out
+    return agg.map_batches(norm, batch_format="pyarrow")
 
 
 def edit_distance_pairs_blocked(
@@ -413,14 +426,22 @@ def edit_distance_pairs_blocked(
     k: int = 2,
     max_bucket: int = 512,
 ):
-    """All (id_a, id_b, dist) pairs with Levenshtein ≤ k — EXACT results via
-    FastSS deletion-neighborhood blocking (functions.editdist
-    .deletion_neighborhood): candidates are generated only inside
-    deletion-variant buckets (guaranteed recall, unlike LSH), deduped, then
-    verified with the vectorized Levenshtein kernel.  The scale path for
-    similarity pair mining — replaces the O(n²)-per-group all-pairs
+    """All (id_a, id_b, dist) pairs with Levenshtein ≤ k via FastSS
+    deletion-neighborhood blocking (functions.editdist.deletion_neighborhood):
+    candidates are generated only inside deletion-variant buckets, deduped,
+    then verified with the vectorized Levenshtein kernel.  The scale path
+    for similarity pair mining — replaces the O(n²)-per-group all-pairs
     self-join (VERDICT r1 #9).  group_col (optional) conjoins an exact
-    blocking key (e.g. nation)."""
+    blocking key (e.g. nation).
+
+    Recall: EXACT as long as no variant bucket exceeds max_bucket.  Hot
+    buckets (degenerate short variants shared by very many names) are
+    dropped with the 'editdist_hot_buckets_dropped' counter, so on dense
+    name distributions sub-max_bucket recall holds only for pairs that
+    share a surviving variant — EXCEPT identical full strings: exact-name
+    co-pairs are additionally generated UNCONDITIONALLY from an exact-name
+    groupby, so dist-0 duplicates are never lost to a hot bucket
+    (ADVICE r2 #3)."""
     from ray.data.aggregate import Min
 
     from ..functions.editdist import deletion_neighborhood, levenshtein_batch
@@ -448,11 +469,8 @@ def edit_distance_pairs_blocked(
     # co-membership pairs fully vectorized.  Hot buckets (above max_bucket
     # members, e.g. degenerate 1-char variants) are dropped entirely with a
     # counter; a true near-dup pair shares MANY variants, so losing one hot
-    # bucket does not lose the pair on non-adversarial data.
-    import os
-    import shutil
-    import tempfile
-
+    # bucket rarely loses the pair — and can never lose a dist-0 pair (the
+    # unconditional exact-name block below).
     import ray.data as rd
 
     from ..stages.joins import hot_keys
@@ -468,16 +486,17 @@ def edit_distance_pairs_blocked(
 
         keys_ds = keys_ds.map_batches(drop_hot, batch_format="pyarrow")
 
-    # stage once so the self-join doesn't recompute the variant explosion
-    stage_dir = tempfile.mkdtemp(prefix="hamerkop_editdist_")
-    keys_path = os.path.join(stage_dir, "keys")
-    keys_ds.write_parquet(keys_path)
-    left = rd.read_parquet(keys_path)
-    right = rd.read_parquet(keys_path)
-    joined = left.join(
-        right, join_type="inner", num_partitions=16,
-        on=("bkey",), validate_schemas=False, right_suffix="_b",
-    )
+    # materialize the variant explosion ONCE; the self-join reads the severed
+    # object-store blocks from both sides (no recompute, no tempfile staging
+    # — VERDICT r2 'What's wrong' #3)
+    key_refs, n_keys = sever_refs(keys_ds)
+    if n_keys == 0:
+        joined = None
+    else:
+        joined = ds_from_refs(key_refs).join(
+            ds_from_refs(key_refs), join_type="inner", num_partitions=16,
+            on=("bkey",), validate_schemas=False, right_suffix="_b",
+        )
 
     def order_pairs(t: pa.Table) -> pa.Table:
         keep = pc.less(t["id"], t["id_b"])
@@ -488,13 +507,73 @@ def edit_distance_pairs_blocked(
              "name_b": pc.cast(kept["name_b"], pa.string())}
         )
 
+    cand_parts = []
+    if joined is not None:
+        cand_parts.append(joined.map_batches(order_pairs, batch_format="pyarrow"))
+
+    # unconditional exact-name co-pairs: identical (group, name) rows always
+    # pair, regardless of hot-bucket drops (guaranteed dist-0 recall)
+    def exact_name_rows(t: pa.Table) -> pa.Table:
+        groups = t[group_col] if group_col else pa.array([""] * t.num_rows)
+        gkey = pc.binary_join_element_wise(
+            pc.cast(groups, pa.string()), pc.cast(t[name_col], pa.string()), "\x1f"
+        )
+        return pa.table({"gname": gkey, "id": t[id_col],
+                         "name": pc.cast(t[name_col], pa.string())})
+
+    def exact_name_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id").sort_values("id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "name_a": pd.Series([], dtype="string"),
+                "name_b": pd.Series([], dtype="string"),
+            })
+        iu, ju = np.triu_indices(n, k=1)
+        ids = g["id"].to_numpy()
+        names = g["name"].to_numpy(dtype=object)
+        return pd.DataFrame({
+            "id_a": pd.Series(ids[iu], dtype="int64"),
+            "id_b": pd.Series(ids[ju], dtype="int64"),
+            "name_a": pd.Series(names[iu], dtype="string"),
+            "name_b": pd.Series(names[ju], dtype="string"),
+        })
+
+    # only names appearing ≥2 times can pair — prefilter with the cheap
+    # two-level count so the groupby dispatches over the (few) dup names,
+    # not every distinct name
+    gname_ds = rows.map_batches(exact_name_rows, batch_format="pyarrow")
+    dup_names = hot_keys(gname_ds, "gname", 1)
+    if dup_names:
+        dup_arr = pa.array(sorted(dup_names), pa.string())
+        exact_cand = (
+            gname_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t["gname"], value_set=dup_arr)),
+                batch_format="pyarrow",
+            )
+            .groupby("gname")
+            .map_groups(exact_name_pairs, batch_format="pandas")
+        )
+        cand_parts.append(exact_cand)
+
+    if not cand_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+        )
+    cand_all = cand_parts[0] if len(cand_parts) == 1 else cand_parts[0].union(
+        *cand_parts[1:]
+    )
     cand = (
-        joined.map_batches(order_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
+        cand_all.groupby(["id_a", "id_b"])
         .aggregate(Min("name_a", alias_name="name_a"), Min("name_b", alias_name="name_b"))
         .materialize()
     )
-    shutil.rmtree(stage_dir, ignore_errors=True)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "id_a" not in t.column_names:
@@ -520,32 +599,96 @@ def embedding_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_target: int = 4096,
 ):
-    """Cosine near-dup pairs within coarse blocks (block_col) — numpy matmul
-    per block.  For unblocked data pass a projection-bucket column."""
+    """Cosine near-dup pairs within coarse blocks (block_col) — EXACT, via
+    bounded chunk-pair tasks: each block's members are hash-split into
+    ⌈n/chunk_target⌉ chunks and every chunk pair (i ≤ j) becomes one task
+    computing its numpy matmul tile.  A block therefore never lands in one
+    whole-block reducer (VERDICT r2 #5: ~10 label values meant ~10
+    whole-corpus groups at scale); rows are replicated ⌈n/chunk_target⌉×,
+    the exact all-pairs-within-block tiling cost.
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].tolist()
+    At sf ≤ 0.1 every block fits one chunk, so the plan degenerates to the
+    previous per-block matmul (oracle results unchanged)."""
+    from ray.data.aggregate import Count
+
+    # pass 1: per-block counts (tiny — blocks are coarse by construction)
+    counts = {
+        r[block_col]: r["n"]
+        for b in embeddings.groupby(block_col)
+        .aggregate(Count(alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    nchunks = {
+        blk: max(1, -(-n // chunk_target)) for blk, n in counts.items()
+    }
+
+    def expand(t: pa.Table) -> pa.Table:
+        blocks = t[block_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        vecs = t[vec_col].to_pylist()
+        out_task, out_chunk, out_id, out_vec = [], [], [], []
+        for blk, i, v in zip(blocks, ids, vecs):
+            k = nchunks.get(blk, 1)
+            c = int(i) % k
+            for other in range(k):
+                lo, hi = min(c, other), max(c, other)
+                out_task.append(f"{blk}\x1f{lo}\x1f{hi}")
+                out_chunk.append(c)
+                out_id.append(int(i))
+                out_vec.append(v)
+        return pa.table(
+            {"task": pa.array(out_task, pa.string()),
+             "chunk": pa.array(out_chunk, pa.int64()),
+             id_col: pa.array(out_id, pa.int64()),
+             vec_col: pa.array(out_vec)}
+        )
+
+    def tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        task = g["task"].iloc[0]
+        lo, hi = task.rsplit("\x1f", 2)[1:]
+        g = g.drop_duplicates(id_col)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1
         m = m / norms
-        sims = m @ m.T
-        src, dst, s = [], [], []
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
+        ids = g[id_col].to_numpy()
+        chunks = g["chunk"].to_numpy()
+        if lo == hi:
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+        else:
+            a_mask = chunks == int(lo)
+            b_mask = ~a_mask
+            if not a_mask.any() or not b_mask.any():
+                return pd.DataFrame(
+                    {"src": pd.Series([], dtype="int64"),
+                     "dst": pd.Series([], dtype="int64"),
+                     "cosine": pd.Series([], dtype="float64")}
+                )
+            sims = m[a_mask] @ m[b_mask].T
+            ii, jj = np.meshgrid(
+                np.arange(a_mask.sum()), np.arange(b_mask.sum()), indexing="ij"
+            )
+            iu, ju = ii.ravel(), jj.ravel()
+            ids_a, ids_b = ids[a_mask], ids[b_mask]
         hits = sims[iu, ju] >= threshold
-        for i, j, sim in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            src.append(a)
-            dst.append(b)
-            s.append(round(float(sim), 4))
+        src = np.minimum(ids_a[iu[hits]], ids_b[ju[hits]])
+        dst = np.maximum(ids_a[iu[hits]], ids_b[ju[hits]])
+        # python round (not np.round): identical last-ulp behavior to the
+        # round-2 implementation, which the oracle value-hash pinned
+        cos = [round(float(v), 4) for v in sims[iu[hits], ju[hits]]]
         return pd.DataFrame(
-            {
-                "src": pd.Series(src, dtype="int64"),
-                "dst": pd.Series(dst, dtype="int64"),
-                "cosine": pd.Series(s, dtype="float64"),
-            }
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64"),
+             "cosine": pd.Series(cos, dtype="float64")}
         )
 
-    return embeddings.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+    return (
+        embeddings.map_batches(expand, batch_format="pyarrow")
+        .groupby("task")
+        .map_groups(tile_pairs, batch_format="pandas")
+    )

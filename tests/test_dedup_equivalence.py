@@ -1,22 +1,20 @@
-"""Equivalence: the round-2 narrow-shuffle dedup restructure (band rows carry
-(band, id) only; signatures/texts fetched for candidates via joins) must emit
-EXACTLY the rows of the round-1 semantics (band rows carried sig/text payloads
-and buckets verified in place) — VERDICT r1 items #2/#3 'Done' criteria.
-
-The v1 semantics are replicated here driver-side (the corpus is small) from
-the round-1 implementation's logic: per-bucket id-sorted cap, in-bucket
-signature-estimate (minhash) or estimate-prefilter + exact n-gram Jaccard
-(ngram), pairs deduped across bands.
+"""Equivalence: the distributed dedup implementations must emit EXACTLY the
+rows of the reference semantics, replicated here driver-side (the corpus is
+small): per-bucket id-sorted cap, in-bucket signature-estimate (minhash) or
+estimate-prefilter + exact n-gram Jaccard (ngram), pairs deduped across
+bands.  Bands default to functions.minhash.derive_bands(threshold) — the
+replicas use the same derivation (VERDICT r2 #1/#2 'Done' criteria).
 """
 
 import numpy as np
 import pytest
 
-from hamerkop_ray.functions.minhash import MinHasher
+from hamerkop_ray.functions.minhash import MinHasher, derive_bands
 from hamerkop_ray.functions.strings import shingles
 
 
-def _v1_minhash_edges(rows, threshold=0.8, bands=16, max_bucket=512):
+def _v1_minhash_edges(rows, threshold=0.8, bands=None, max_bucket=512):
+    bands = bands or derive_bands(threshold)
     h = MinHasher(num_perm=64, shingle_n=3, seed=1)
     sigs = {str(r["doc_id"]): h.signature(r["text"]) for r in rows}
     buckets: dict[str, list[str]] = {}
@@ -35,7 +33,8 @@ def _v1_minhash_edges(rows, threshold=0.8, bands=16, max_bucket=512):
     return edges
 
 
-def _v1_ngram_pairs(rows, threshold=0.7, bands=16, max_bucket=256, n=3):
+def _v1_ngram_pairs(rows, threshold=0.7, bands=None, max_bucket=256, n=3):
+    bands = bands or derive_bands(threshold)
     h = MinHasher(num_perm=64, shingle_n=n, seed=1)
     sigs = {str(r["doc_id"]): h.signature(r["text"]) for r in rows}
     texts = {str(r["doc_id"]): r["text"] for r in rows}
