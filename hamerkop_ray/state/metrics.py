@@ -11,12 +11,30 @@ snapshot is included.
 
 All helpers degrade to no-ops when Ray is not initialised or the actor was
 never started — metrics are observability, never a correctness dependency.
+
+Scoping & semantics (ADVICE r2): the actor name embeds the Ray JOB id, which
+driver and workers compute locally — so two runs sharing one cluster get two
+actors and never pollute each other's counters, and the actor (no longer
+detached) dies with its driver instead of leaking.  Counting is
+AT-LEAST-ONCE: fire-and-forget increments from a retried map task are
+re-issued, so counters are diagnostics (orders of magnitude, drop detection),
+not exact accounting.
 """
 
 from __future__ import annotations
 
 _NAMESPACE = "hamerkop_metrics"
-_ACTOR_NAME = "counters"
+
+
+def _actor_name() -> str:
+    """Job-scoped actor name, computable without coordination on both the
+    driver and every worker of the same run."""
+    try:
+        import ray
+
+        return f"counters-{ray.get_runtime_context().get_job_id()}"
+    except Exception:
+        return "counters"
 
 # per-process cache of the actor handle (ray.get_actor is a GCS lookup)
 _handle = None
@@ -50,14 +68,15 @@ def _actor(create: bool = False):
                 self.c = {}
 
         if create:
+            # NOT detached: a job-scoped metrics actor should die with its
+            # driver (the detached round-2 actor leaked across runs)
             _handle = _Counters.options(
-                name=_ACTOR_NAME,
+                name=_actor_name(),
                 namespace=_NAMESPACE,
                 get_if_exists=True,
-                lifetime="detached",
             ).remote()
         else:
-            _handle = ray.get_actor(_ACTOR_NAME, namespace=_NAMESPACE)
+            _handle = ray.get_actor(_actor_name(), namespace=_NAMESPACE)
         _handle_missing = False
         return _handle
     except Exception:

@@ -37,6 +37,27 @@ def test_devanagari_romanization():
     assert r.translate("दिल्ली", "hin") == "dillii"
 
 
+def test_cyrillic_romanization():
+    r = RuleRomanizer()
+    assert r.translate("Владимир Петров", "rus") == "Vladimir Petrov"
+    assert r.translate("Київ", "ukr") == "Kiyiv"
+    assert r.translate("Ђоковић", "srp") == "Djokovic"
+    assert r.translate("Хабаровск", "rus") == "Khabarovsk"
+
+
+def test_greek_romanization():
+    r = RuleRomanizer()
+    assert r.translate("Αλέξανδρος", "ell") == "Alexandros"
+    assert r.translate("Αθήνα", "ell") == "Athina"
+
+
+def test_hebrew_romanization():
+    r = RuleRomanizer()
+    assert r.translate("ירושלים", "heb") == "yrvshlym"
+    # niqqud are dropped
+    assert r.translate("שָׁלוֹם", "heb") == "shlvm"
+
+
 def test_uroman_gating():
     r = RuleRomanizer()
     assert r.translate("plain ascii", "und") is None  # nothing to project
@@ -83,6 +104,48 @@ def test_translit_probe_retrieves_latin_alias():
     assert len(rows) == 1
     assert rows[0]["lang"] == "tir"  # Ge'ez script detected
     assert rows[0]["translit"] == "adis abeba"
+
+    gen = CandidateGeneration(
+        NameIndexData(kb), config=[("exact", "translit")], maximum=25
+    )
+    out = gen.add_candidates(rows)
+    assert [c["entity_id"] for c in out[0]["candidates"]] == ["E1"]
+
+
+def test_translit_probe_cyrillic_surface():
+    """e2e (VERDICT r2 #7): a Cyrillic surface 'Минск' romanizes to 'Minsk'
+    and retrieves the Latin KB alias via the ("exact","translit") probe."""
+    from hamerkop_ray.schemas import DOCUMENTS
+    from hamerkop_ray.stages.blocking import CandidateGeneration, NameIndexData
+    from hamerkop_ray.stages.chains import Stage1Chains
+    from hamerkop_ray.stages.preprocess import (
+        cascade,
+        default_cascade,
+        name_projector,
+    )
+    from hamerkop_ray.functions.langid import NgramLangDetector
+
+    kb = pa.Table.from_pylist(
+        [
+            {"entity_id": "E1", "entity_type": "GPE", "names": ["Minsk"]},
+            {"entity_id": "E2", "entity_type": "GPE", "names": ["Pinsk"]},
+        ]
+    )
+    doc = pa.Table.from_pylist(
+        [{
+            "doc_id": "D_NW_2",
+            "spans": [
+                {"kind": "mention/GPE", "text": "Минск", "media_ref": "", "offset": 0},
+            ],
+        }],
+        schema=DOCUMENTS,
+    )
+    pre = cascade([default_cascade(), name_projector(RuleRomanizer().translate)])
+    rows = Stage1Chains(
+        preprocessor=pre, lang_detector=NgramLangDetector()
+    ).chain_rows(doc)
+    assert len(rows) == 1
+    assert rows[0]["translit"] == "Minsk"
 
     gen = CandidateGeneration(
         NameIndexData(kb), config=[("exact", "translit")], maximum=25
