@@ -134,9 +134,25 @@ def _doc_stats(sf_dir: str):
 
 
 def _doc_quality(sf_dir: str):
+    import pandas as pd
+
     from hamerkop_ray.pipelines.text import quality
 
-    return quality(_docs(sf_dir, ["doc_id", "text"]))
+    float_cols = ["mean_token_len", "stopword_ratio", "punct_ratio",
+                  "digit_ratio", "uniq_token_ratio", "quality_score"]
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # round for the oracle's value-hash compare — HALF-AWAY like DuckDB's
+        # ROUND (np.round is half-even: 0.5140625 → .514062 vs .514063)
+        for c in float_cols:
+            df[c] = np.floor(df[c].to_numpy() * 1e6 + 0.5) / 1e6
+        return df
+
+    return quality(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        rnd, batch_format="pandas"
+    )
 
 
 def _doc_langid(sf_dir: str):
@@ -402,9 +418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_priority": rel.top3_orders_per_priority,
         # text analysis
         "doc_stats": _doc_stats,
-        "doc_quality": _doc_quality,  # no SQL oracle (heuristic features)
+        "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
-        "doc_fingerprints": _doc_fingerprints,  # no SQL oracle (rolling hash)
+        "doc_fingerprints": _doc_fingerprints,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
@@ -445,6 +461,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens
             FROM documents
+        """,
+        # mirrors functions/textstats.quality_features exactly (ASCII corpus:
+        # RE2 [\w\s]/[0-9] == python re semantics); floats rounded to 6
+        # decimals on BOTH sides for the value-hash compare
+        "doc_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     LENGTH(text) AS n_chars,
+                     LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS toks,
+                     LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS n_punct,
+                     LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM documents
+            ), u AS (
+              SELECT doc_id, n_chars,
+                     LEN(toks) AS n_tokens,
+                     COALESCE(LIST_AVG(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0.0) AS mean_token_len,
+                     CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+                       CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(
+                         ['the','a','an','and','or','of','to','in','is','are',
+                          'was','were','be','been','it','this','that','with',
+                          'for','on','as','at','by','from','not','but','they',
+                          'their','there','what','which','when','who','how','all'],
+                         LOWER(x)))) AS DOUBLE) / LEN(toks) END AS stopword_ratio,
+                     CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+                     CAST(n_digit AS DOUBLE) / GREATEST(n_chars, 1) AS digit_ratio,
+                     CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE
+                       CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)
+                     END AS uniq_token_ratio
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   ROUND(mean_token_len, 6) AS mean_token_len,
+                   ROUND(stopword_ratio, 6) AS stopword_ratio,
+                   ROUND(punct_ratio, 6) AS punct_ratio,
+                   ROUND(digit_ratio, 6) AS digit_ratio,
+                   ROUND(uniq_token_ratio, 6) AS uniq_token_ratio,
+                   ROUND(LEAST(n_tokens, 256) / 256.0 * 0.25
+                         + (1 - LEAST(punct_ratio, 1)) * 0.2
+                         + (1 - LEAST(digit_ratio, 1)) * 0.15
+                         + LEAST(stopword_ratio, 0.5) * 2 * 0.2
+                         + uniq_token_ratio * 0.2, 6) AS quality_score
+            FROM u
+        """,
+        # bit-exact FNV-1a winnowing fingerprint (textstats.rolling_fingerprint)
+        # via list_reduce with HUGEINT arithmetic mod 2^64
+        "doc_fingerprints": """
+            WITH n AS (
+              SELECT doc_id,
+                     array_to_string(LIST_FILTER(STRING_SPLIT_REGEX(lower(text), '\\s+'), x -> x <> ''), ' ') AS norm0
+              FROM documents
+            ), p AS (
+              SELECT doc_id, CASE WHEN LENGTH(norm0) < 8 THEN rpad(norm0, 8, ' ') ELSE norm0 END AS norm
+              FROM n
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(range(1, LENGTH(norm) - 8 + 2), i ->
+                       list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           CAST(list_transform(range(0, 8), j ->
+                             unicode(substr(norm, CAST(i + j AS INT), 1))) AS HUGEINT[])),
+                         (acc, c) -> (xor(acc, c % 256) * 1099511628211) % 18446744073709551616
+                       )) AS hs
+              FROM p
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(list_sort(list_distinct(hs))[1:4],
+                       v -> lower(lpad(to_hex(CAST(v AS UBIGINT)), 16, '0'))), '-') AS fingerprint
+            FROM h
         """,
         "dedup_exact_docs": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "similar_customer_names": """

@@ -128,7 +128,11 @@ def run_bench() -> dict:
     if prev_path:
         try:
             with open(prev_path) as f:
-                prev_q = json.load(f).get("queries", {})
+                prev = json.load(f)
+            # driver-recorded BENCH_r*.json wraps the bench line in "parsed"
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries", {})
             regressions = {
                 name: {"prev_sec": p, "new_sec": qtimes[name],
                        "ratio": round(qtimes[name] / p, 2)}

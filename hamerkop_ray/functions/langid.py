@@ -158,6 +158,57 @@ _PROFILE_TEXT = {
            "mingħajr kontra matul għal lill bħal iżda jew meta fejn",
     "gle": "agus an na is ar go ní sé sí le do bhí atá gach den ach nó "
            "faoi idir gan tar éis roimh in aghaidh anseo nuair a chuid",
+    # round-3 within-script discrimination (langdetect separates the
+    # Cyrillic, Arabic-script and Devanagari languages; a script range
+    # alone cannot): native-script function-word seed profiles, consulted
+    # ONLY when the script vote lands on an ambiguous script
+    "rus": "и в не на я он что с это как а то все она так его но да ты к "
+           "у же вы за бы по только ее мне было вот от меня еще нет них "
+           "который чтобы при этом один если был люди свои своем может "
+           "жизни очень даже когда после между без через является этими "
+           "нами ими своей равными свободными для про или под над из со "
+           "во также более русский году был",
+    "ukr": "і в не на я він що з це як а то все вона так його але ти до "
+           "у же ви за би по тільки її мені було ось від мене ще немає "
+           "та який для про також може цей бути них якщо був вільними "
+           "рівними своїй гідності народжуються повинні",
+    "bul": "и в не на аз той какво с това как а то всичко тя така но да "
+           "ти към у же вие за би по само беше ето от мен още няма е са "
+           "че се при един ако бил който трябва свободни равни "
+           "достойнство раждат хора следва",
+    "srp": "и у не на ја он шта са ово како а то све она тако његов али "
+           "да ти ка же ви за би по само њен мени било ево од мене још "
+           "нема је су се при један ако био који треба слободна једнака "
+           "достојанству рађају људска бића",
+    "mkd": "и во не на јас тој што со ова како а тоа сè таа така но да "
+           "ти кон у же вие за би по само мене беше еве од уште нема е "
+           "се дека еден ако бил кој треба него слободни еднакви "
+           "достоинство раѓаат суштества сите",
+    "bel": "і ў не на я ён што з гэта як а то ўсё яна так яго але ты да "
+           "у жа вы за бы па толькі яе мне было вось ад мяне яшчэ няма "
+           "ёсць для пра які калі быў свабоднымі роўнымі годнасці "
+           "нараджаюцца людзі павінны",
+    "ara": "في من على أن إلى عن مع هذا التي الذي كان لم ما لا هو هي أو "
+           "ثم قد كل بعد غير بين حتى إذا لكن منذ عند أي و ب ل",
+    "fas": "در از به که را با این آن برای است بود شد تا هم او ما من شما "
+           "آنها یک هر چه اگر ولی باید می کرد نیست همه های",
+    "urd": "میں نے سے کو کی کا کے پر ہے ہیں تھا اور یہ وہ ایک لیے بھی "
+           "نہیں تو اس آپ ہم کیا جو اب کچھ پھر لیکن گیا",
+    "hin": "में है की का के और से को पर यह वह एक लिए भी नहीं तो इस आप "
+           "हम क्या जो अब कुछ फिर लेकिन था हूँ करने वाले साथ",
+    "mar": "आहे मध्ये आणि च्या ला ने हे ते एक साठी पण नाही तर या आपण "
+           "आम्ही काय जे आता काही मग परंतु होते करणे सोबत व आहेत",
+    "nep": "छ मा र को लाई ले यो त्यो एक लागि पनि छैन त यस तपाईं हामी "
+           "के जुन अब केही अनि तर थियो गर्न साथ हुन् छन्",
+}
+
+# consulted only when the winning script is shared by several languages;
+# FIRST entry is the macro/default language (returned when the text has no
+# profile-trigram overlap, preserving the round-2 behavior)
+_SCRIPT_CANDIDATES = {
+    "rus": ("rus", "ukr", "bul", "srp", "mkd", "bel"),
+    "ara": ("ara", "fas", "urd"),
+    "hin": ("hin", "mar", "nep"),
 }
 
 # first matching range wins per character; kana ranges precede CJK so that
@@ -219,6 +270,10 @@ class NgramLangDetector:
         self.profiles = np.stack(
             [_trigram_vector(_PROFILE_TEXT[l], self.vocab) for l in self.langs]
         )
+        self._cand_idx = {
+            script: np.array([self.langs.index(l) for l in cands])
+            for script, cands in _SCRIPT_CANDIDATES.items()
+        }
 
     def detect_text(self, text: str) -> str:
         if not text:
@@ -236,7 +291,16 @@ class NgramLangDetector:
                 return "jpn"
             lang, n = counts.most_common(1)[0]
             if n >= max(3, 0.3 * len(text)):
-                return lang
+                cands = _SCRIPT_CANDIDATES.get(lang)
+                if cands is None:
+                    return lang
+                # ambiguous script: trigram argmax restricted to its languages
+                sims = self.profiles[self._cand_idx[lang]] @ _trigram_vector(
+                    text, self.vocab
+                )
+                if sims.max() <= 0:
+                    return lang
+                return cands[int(np.argmax(sims))]
         sims = self.profiles @ _trigram_vector(text, self.vocab)
         return self.langs[int(np.argmax(sims))]
 

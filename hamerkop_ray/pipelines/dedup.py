@@ -98,12 +98,14 @@ class _MinhashBandSigs:
         self.num_partitions = num_partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        sig_mat = self.h.signatures(texts)  # one vectorized pass per batch
+        keys_mat = self.h.band_keys_matrix(sig_mat, self.bands)
         ids, keys, sigs = [], [], []
-        for i, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
-            sig = self.h.signature(text)
+        for i, sig, doc_keys in zip(t[self.id_col].to_pylist(), sig_mat, keys_mat):
             sb = sig.tobytes()
             sid = str(i)
-            for key in self.h.band_keys_from_sig(sig, self.bands):
+            for key in doc_keys:
                 ids.append(sid)
                 keys.append(key)
                 sigs.append(sb)

@@ -109,6 +109,20 @@ def test_minhash_deterministic_across_instances():
     assert np.array_equal(a, b)
 
 
+def test_minhash_batch_signatures_bit_identical():
+    # the batched reduceat path must equal the per-doc path exactly —
+    # dedup equivalence and band bucketing both depend on it
+    mh = MinHasher(64, 3, 1)
+    texts = ["the quick brown fox", "", "a", "the quick brown fox jumps",
+             "x" * 500, "hello world " * 40]
+    batch = mh.signatures(texts)
+    per = np.stack([mh.signature(t) for t in texts])
+    assert np.array_equal(batch, per)
+    assert mh.band_keys_matrix(batch, 8) == [
+        mh.band_keys_from_sig(s, 8) for s in per
+    ]
+
+
 def test_band_keys_collide_for_near_dups():
     mh = MinHasher(64, 3, 1)
     k1 = set(mh.band_keys("international business machines"))

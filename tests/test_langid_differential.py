@@ -91,6 +91,46 @@ LATIN = {
            "bhráithreachais",
 }
 
+# languages sharing a script, separated by native-script trigram profiles
+# (round 3; langdetect covers all of these)
+SHARED_SCRIPT = {
+    "rus": "Все люди рождаются свободными и равными в своем достоинстве и "
+           "правах Они наделены разумом и совестью и должны поступать в "
+           "отношении друг друга в духе братства",
+    "ukr": "Всі люди народжуються вільними і рівними у своїй гідності та "
+           "правах Вони наділені розумом і совістю і повинні діяти у "
+           "відношенні один до одного в дусі братерства",
+    "bul": "Всички хора се раждат свободни и равни по достойнство и права "
+           "Те са надарени с разум и съвест и следва да се отнасят "
+           "помежду си в дух на братство",
+    "srp": "Сва људска бића рађају се слободна и једнака у достојанству и "
+           "правима Она су обдарена разумом и свешћу и треба једни према "
+           "другима да поступају у духу братства",
+    "mkd": "Сите човечки суштества се раѓаат слободни и еднакви по "
+           "достоинство и права Тие се обдарени со разум и совест и треба "
+           "да се однесуваат еден кон друг во духот на братството",
+    "bel": "Усе людзі нараджаюцца свабоднымі і роўнымі ў сваёй годнасці і "
+           "правах Яны надзелены розумам і сумленнем і павінны ставіцца "
+           "адзін да аднаго ў духу брацтва",
+    "ara": "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق وقد وهبوا "
+           "عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء",
+    "fas": "تمام افراد بشر آزاد به دنیا می آیند و از لحاظ حیثیت و حقوق با "
+           "هم برابرند همه دارای عقل و وجدان می باشند و باید نسبت به "
+           "یکدیگر با روح برادری رفتار کنند",
+    "urd": "تمام انسان آزاد اور حقوق و عزت کے اعتبار سے برابر پیدا ہوئے "
+           "ہیں انہیں ضمیر اور عقل ودیعت ہوئی ہے اس لیے انہیں ایک دوسرے "
+           "کے ساتھ بھائی چارے کا سلوک کرنا چاہیے",
+    "hin": "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात "
+           "स्वतन्त्रता और समानता प्राप्त है उन्हें बुद्धि और अन्तरात्मा "
+           "की देन प्राप्त है",
+    "mar": "सर्व मनुष्यजात जन्मतःच स्वतंत्र आहे व सर्वजणांना समान "
+           "प्रतिष्ठा व समान अधिकार आहेत त्यांना विचारशक्ती व "
+           "सदसद्विवेकबुद्धी लाभलेली आहे",
+    "nep": "सबै व्यक्तिहरू जन्मजात स्वतन्त्र हुन् ती सबैको समान अधिकार र "
+           "महत्व छ निजहरूमा विचार शक्ति र सद्विचार भएकोले निजहरूले "
+           "आपसमा भातृत्वको भावनाबाट व्यवहार गर्नु पर्छ",
+}
+
 
 def test_latin_profile_breadth():
     # ≥35 languages across scripts+profiles (VERDICT r2 'Done' criterion #6)
@@ -127,6 +167,14 @@ def test_udhr_script_detection():
 def test_udhr_latin_profiles():
     det = NgramLangDetector()
     for lang, text in LATIN.items():
+        assert det.detect(f"{lang}.txt", text.split()) == lang, lang
+
+
+def test_shared_script_discrimination():
+    # Cyrillic / Arabic-script / Devanagari languages must resolve to the
+    # right member, not the script's macro default (round-3 breadth)
+    det = NgramLangDetector()
+    for lang, text in SHARED_SCRIPT.items():
         assert det.detect(f"{lang}.txt", text.split()) == lang, lang
 
 

@@ -58,6 +58,23 @@ def test_hebrew_romanization():
     assert r.translate("שָׁלוֹם", "heb") == "shlvm"
 
 
+def test_hangul_romanization():
+    r = RuleRomanizer()
+    assert r.translate("서울", "kor") == "seoul"
+    assert r.translate("평양", "kor") == "pyeongyang"
+    assert r.translate("김정은", "kor") == "gimjeongeun"
+
+
+def test_kana_romanization():
+    r = RuleRomanizer()
+    assert r.translate("とうきょう", "jpn") == "toukyou"
+    assert r.translate("トヨタ", "jpn") == "toyota"
+    assert r.translate("きょうと", "jpn") == "kyouto"
+    assert r.translate("さっぽろ", "jpn") == "sapporo"   # sokuon doubles
+    assert r.translate("コーヒー", "jpn") == "koohii"    # long-vowel mark
+    assert r.translate("まっちゃ", "jpn") == "matcha"    # っち → tch
+
+
 def test_uroman_gating():
     r = RuleRomanizer()
     assert r.translate("plain ascii", "und") is None  # nothing to project

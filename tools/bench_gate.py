@@ -20,6 +20,9 @@ import sys
 def load_queries(path: str) -> dict[str, float]:
     with open(path) as f:
         rec = json.load(f)
+    # driver-recorded BENCH_r*.json wraps the bench line under "parsed"
+    if "queries" not in rec and isinstance(rec.get("parsed"), dict):
+        rec = rec["parsed"]
     q = dict(rec.get("queries", {}))
     if "value" in rec and "er_flagship" not in q:
         q["er_flagship"] = rec["value"]
