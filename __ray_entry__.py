@@ -191,6 +191,14 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
 
 
+def _ngram_jaccard_exact(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs_exact
+
+    return ngram_jaccard_pairs_exact(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.7
+    )
+
+
 def _emb_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -426,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
         "dedup_simhash_docs": _dedup_simhash,  # no SQL oracle
         "ngram_jaccard_pairs": _ngram_jaccard,  # no SQL oracle (LSH-bucketed)
+        "ngram_jaccard_pairs_exact": _ngram_jaccard_exact,
         "similar_customer_names": _similar_customer_names,
         "similar_customer_names_blocked": _similar_customer_names_blocked,
         "embedding_neardup_pairs": _emb_neardup,
@@ -503,6 +512,38 @@ def oracle_sql() -> dict[str, str]:
                          + LEAST(stopword_ratio, 0.5) * 2 * 0.2
                          + uniq_token_ratio * 0.2, 6) AS quality_score
             FROM u
+        """,
+        # exact n-gram Jaccard ssjoin: the SQL all-pairs self-join is the
+        # ground truth the prefix-filtered distributed join must reproduce
+        # exactly (same shingle normalization as functions/strings.shingles:
+        # lowercase, \s+ -> ' ', strip; short strings become one whole-string
+        # token; jaccard = o / (|a| + |b| - o) in float64 on both sides)
+        "ngram_jaccard_pairs_exact": """
+            WITH norm AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(s) < 3 THEN
+                       CASE WHEN s = '' THEN [] ELSE [s] END
+                     ELSE list_transform(range(1, length(s) - 1),
+                                         i -> substr(s, CAST(i AS INTEGER), 3))
+                END)) AS tok
+              FROM norm
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS o
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.src, i.dst,
+                   CAST(i.o AS DOUBLE) / (sa.sz + sb.sz - i.o) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.src
+            JOIN sizes sb ON sb.doc_id = i.dst
+            WHERE CAST(i.o AS DOUBLE) / (sa.sz + sb.sz - i.o) >= 0.7
         """,
         # bit-exact FNV-1a winnowing fingerprint (textstats.rolling_fingerprint)
         # via list_reduce with HUGEINT arithmetic mod 2^64

@@ -1,5 +1,5 @@
-"""Deduplication pipelines: exact, MinHash-LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+"""Deduplication pipelines: exact, MinHash-LSH, SimHash, n-gram Jaccard
+(LSH-approximate AND prefix-filtered exact), embedding-cosine near-dup.
 
 Shapes (see /opt/skills/guides/ray_guide.md dedup pattern and the MinHash/LSH
 literature):
@@ -37,6 +37,10 @@ literature):
 
   embedding cosine near-dup within coarse blocks, each block split into
   bounded chunk-pair tasks (exact, no single whole-block reducer).
+
+  ngram-exact  prefix-filtered set-similarity self-join (All-Pairs/PPJoin/
+  Vernica): guaranteed recall — the SQL all-pairs self-join is its oracle.
+  See ngram_jaccard_pairs_exact.
 """
 
 from __future__ import annotations
@@ -592,6 +596,303 @@ def edit_distance_pairs_blocked(
         )
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (prefix filtering — guaranteed recall)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _global_token_ranks(docs, *, text_col: str, shingle_n: int):
+    """Global document-frequency order over the corpus' character-shingle
+    vocabulary: rank 0 = rarest (ties by token).  One narrow (tok, n)
+    pre-aggregated shuffle; the result is VOCAB-bounded (char n-gram
+    vocabulary ≤ |charset|^n, independent of corpus size), so collecting it
+    on the driver and re-broadcasting via ray.put is the same bounded-side
+    pattern as the KB/name-index broadcasts (Vernica et al. SIGMOD'10 §3.1
+    stage 1 does exactly this for its token ordering)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.strings import shingles as _sh
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t[text_col].to_pylist():
+            c.update(set(_sh(text, shingle_n)))
+        return pa.table(
+            {"tok": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    rows = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    order = sorted(rows, key=lambda r: (r["n"], r["tok"]))
+    return {r["tok"]: i for i, r in enumerate(order)}
+
+
+class _PrefixBitsetRows:
+    """Prefix-token emission for the exact ssjoin: per doc, tokens are
+    sorted by the broadcast global rank (rarest first) and ONE row is
+    emitted per PREFIX token (prefix length |x| − ⌈t·|x|⌉ + 1 — the
+    prefix-filtering lemma: any pair with Jaccard ≥ t shares a prefix
+    token; Bayardo et al. WWW'07, Xiao et al. PPJoin).  Each row carries
+    the doc's token-set as a vocabulary BITSET (V/8 bytes — bounded by the
+    char-ngram vocabulary, NOT by document length), so in-bucket exact
+    verification is one AND + popcount, vectorized across candidate pairs.
+    The rank dict is ray.put once and materialized per actor here."""
+
+    def __init__(self, rank_ref, threshold, shingle_n, text_col, id_col,
+                 num_partitions):
+        import math
+
+        import ray
+
+        self.rank = ray.get(rank_ref) if not isinstance(rank_ref, dict) else rank_ref
+        self.vocab = len(self.rank)
+        self.nbytes = max(1, -(-self.vocab // 8))
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_partitions = num_partitions
+        self._ceil = math.ceil
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.strings import shingles as _sh
+
+        pkeys, toks, ids, sizes, poss, idxs, bits_out = [], [], [], [], [], [], []
+        for i, text in zip(t[self.id_col].to_pylist(),
+                           t[self.text_col].to_pylist()):
+            rs = sorted(self.rank[tok] for tok in set(_sh(text, self.shingle_n)))
+            sz = len(rs)
+            if sz == 0:
+                continue
+            # epsilon guards keep both prefixes VALID upper bounds under
+            # float threshold rounding (a too-long prefix is still exact)
+            p = sz - self._ceil(self.threshold * sz - 1e-9) + 1
+            ip = sz - self._ceil(
+                2 * self.threshold / (1 + self.threshold) * sz - 1e-9
+            ) + 1  # PPJoin index prefix (Xiao et al.)
+            mask = np.zeros(self.nbytes * 8, dtype=bool)
+            mask[rs] = True
+            b = np.packbits(mask).tobytes()
+            sid = str(i)
+            for pos in range(p):
+                r = rs[pos]
+                pkeys.append(r % self.num_partitions)
+                toks.append(r)
+                ids.append(sid)
+                sizes.append(sz)
+                poss.append(pos)
+                idxs.append(pos < ip)
+                bits_out.append(b)
+        return pa.table(
+            {"pkey": pa.array(pkeys, pa.int64()),
+             "tok": pa.array(toks, pa.int64()),
+             "id": pa.array(ids, pa.string()),
+             "size": pa.array(sizes, pa.int32()),
+             "pos": pa.array(poss, pa.int32()),
+             "idx": pa.array(idxs, pa.bool_()),
+             "bits": pa.array(bits_out, pa.binary())}
+        )
+
+
+# first-set-bit (lowest GLOBAL token rank — np.packbits is MSB-first) per byte
+_FB8 = np.array([8 - v.bit_length() if v else 8 for v in range(256)],
+                dtype=np.int64)
+
+
+def _partition_bucket_exact_jaccard(threshold: float, counter: str,
+                                    pair_chunk: int = 1 << 17):
+    """Per-partition bucket verification for the exact ssjoin.  Filter
+    cascade per candidate chunk, all vectorized:
+
+      1. index-prefix (PPJoin): the pair's first common token w0 provably
+         lies within the INDEX prefix (|x| − ⌈2t/(1+t)·|x|⌉ + 1) of the
+         smaller-sized member — from o ≥ t/(1+t)(|x|+|y|) and |y| ≥ |x|,
+         o ≥ ⌈2t/(1+t)·|x|⌉, so w0's position in x is ≤ |x| − o < ip_x —
+         so pairs failing it here will pass it in bucket w0.
+      2. length: min ≥ t·max.
+      3. positional: 1 + min(remaining suffix lengths) ≥ α.
+      4. FIRST-COMMON-TOKEN: the pair is kept ONLY in bucket
+         w0 = first set bit of (bits_a & bits_b) — each qualifying pair is
+         emitted EXACTLY ONCE across the whole job (w0 is in both probe
+         prefixes: the probe prefix holds the doc's lowest ranks, and w0 is
+         the lowest common rank), so NO downstream distinct is needed
+         (Ray's sort-aggregate on the pair table was measured at 50-100 s
+         for 13 k rows — removing it is the single biggest win).
+      5. exact overlap popcount → jaccard ≥ t (the only ACCEPTANCE test;
+         1-3 are epsilon-relaxed lower bounds, pruning-only)."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype="string"),
+             "dst": pd.Series([], dtype="string"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        g = g.drop_duplicates(["tok", "id"]).sort_values(["tok", "size", "id"])
+        n = len(g)
+        if n < 2:
+            return empty
+        nbytes = len(g["bits"].iloc[0])
+        bits = np.frombuffer(b"".join(g["bits"].tolist()),
+                             dtype=np.uint8).reshape(n, nbytes)
+        ids = g["id"].to_numpy(dtype=object)
+        sizes = g["size"].to_numpy(dtype=np.int32)
+        poss = g["pos"].to_numpy(dtype=np.int32)
+        idxf = g["idx"].to_numpy(dtype=bool)
+        toks = g["tok"].to_numpy()
+        starts = np.concatenate(
+            ([0], np.flatnonzero(toks[1:] != toks[:-1]) + 1, [n])
+        )
+        frac = threshold / (1.0 + threshold)
+        src_out, dst_out, jac_out = [], [], []
+        verified = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            tok0 = int(toks[s])
+            bsz = sizes[s:e]
+            bidx = idxf[s:e]
+            # Pairs are generated ONLY (a) from index-prefix rows as the
+            # smaller (left) member — at bucket w0 a qualifying pair's
+            # smaller member provably has idx=True (equal sizes: both do) —
+            # and (b) within the length window size_b ≤ size_a/t (members
+            # sorted by size, so the window is one searchsorted slice).
+            # This builds ~|idx|×|window| candidates instead of m²/2.
+            lo = np.arange(1, m + 1, dtype=np.int32)
+            hi = np.searchsorted(
+                bsz, (bsz / threshold + 1e-9), side="right"
+            ).astype(np.int32)
+            lens = np.where(bidx, np.maximum(hi - lo, 0), 0)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            off = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+            iu = np.repeat(np.arange(m, dtype=np.int32), lens)
+            jj_flat = (np.arange(total, dtype=np.int64)
+                       - np.repeat(off, lens)
+                       + np.repeat(lo, lens).astype(np.int64)).astype(np.int32)
+            for c in range(0, total, pair_chunk):
+                ii = s + iu[c : c + pair_chunk].astype(np.int64)
+                jj = s + jj_flat[c : c + pair_chunk].astype(np.int64)
+                sa, sb = sizes[ii], sizes[jj]
+                # positional filter (lower-bound-safe)
+                alpha = np.ceil(frac * (sa.astype(np.float64) + sb) - 1e-9)
+                keep = 1 + np.minimum(sa - poss[ii] - 1, sb - poss[jj] - 1) >= alpha
+                keep = np.flatnonzero(keep)
+                if keep.size == 0:
+                    continue
+                ia, ib = ii[keep], jj[keep]
+                ab = bits[ia] & bits[ib]
+                # first common token == this bucket's token → emit-once
+                kbyte = (ab != 0).argmax(axis=1)
+                w0 = kbyte * 8 + _FB8[ab[np.arange(len(kbyte)), kbyte]]
+                here = np.flatnonzero(w0 == tok0)
+                if here.size == 0:
+                    continue
+                # exact overlap + jaccard (the only acceptance test)
+                o = _POP8[ab[here]].sum(axis=1).astype(np.int64)
+                verified += here.size
+                ia, ib = ia[here], ib[here]
+                jac = o / (sizes[ia].astype(np.float64) + sizes[ib] - o)
+                hit = np.flatnonzero(jac >= threshold)
+                for x in hit:
+                    a, b = ids[ia[x]], ids[ib[x]]
+                    if b < a:
+                        a, b = b, a
+                    src_out.append(a)
+                    dst_out.append(b)
+                    jac_out.append(float(jac[x]))
+        if verified:
+            metrics.incr(counter, verified)
+        if not src_out:
+            return empty
+        return pd.DataFrame(
+            {"src": pd.Series(src_out, dtype="string"),
+             "dst": pd.Series(dst_out, dtype="string"),
+             "jaccard": pd.Series(jac_out, dtype="float64")}
+        )
+
+    return bucket_pairs
+
+
+def ngram_jaccard_pairs_exact(
+    docs,
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """→ Dataset (src, dst, jaccard): ALL pairs with exact character n-gram
+    Jaccard ≥ threshold — GUARANTEED recall, the exact counterpart to the
+    LSH-approximate ngram_jaccard_pairs.  Distributed prefix-filtering
+    set-similarity join (Bayardo et al. WWW'07 All-Pairs; Xiao et al.
+    PPJoin length/positional filters; Vernica et al. SIGMOD'10 for the
+    MapReduce shape the Ray dataflow mirrors):
+
+      stage 1  global token-frequency order — one pre-aggregated narrow
+               (tok, n) shuffle; result is vocab-bounded (≤ |charset|^n)
+               and broadcast via ray.put (small-side pattern).
+      stage 2  per doc: emit one row per PREFIX token (|x| − ⌈t·|x|⌉ + 1
+               rarest tokens) carrying (size, pos, vocab-bitset).  Linear
+               payload: prefix_len × V/8 bytes per doc, independent of
+               corpus size.
+      stage 3  hash-partitioned bucket groupby (pkey = rank % P):
+               index-prefix + length + positional filters vectorized,
+               exact overlap via bitset AND+popcount; ONLY true-Jaccard-≥-t
+               pairs leave the task (the round-3 dedup invariant: nothing
+               quadratic and unverified ever enters a shuffle), and each
+               pair leaves EXACTLY ONCE — the first-common-token rule
+               makes emission globally unique, so there is NO downstream
+               distinct/aggregate stage at all.
+
+    Worst case (all documents near-identical) is inherently quadratic in
+    VERIFICATIONS — that is the exact-join lower bound, not a design flaw —
+    but stays bounded per task via pair chunking and never materializes
+    unverified pairs.  num_partitions should scale with cluster size."""
+    import ray
+
+    rank = _global_token_ranks(docs, text_col=text_col, shingle_n=shingle_n)
+    rank_ref = ray.put(rank)
+    rows = docs.map_batches(
+        _PrefixBitsetRows,
+        fn_constructor_kwargs=dict(
+            rank_ref=rank_ref, threshold=threshold, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col, num_partitions=num_partitions,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    verified = rows.groupby("pkey").map_groups(
+        _partition_bucket_exact_jaccard(threshold, "ssjoin_pairs_verified"),
+        batch_format="pandas",
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()),
+                 "dst": pa.array([], pa.string()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"src": pc.cast(t["src"], pa.string()),
+             "dst": pc.cast(t["dst"], pa.string()),
+             "jaccard": pc.cast(t["jaccard"], pa.float64())}
+        )
+
+    return verified.map_batches(norm, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(

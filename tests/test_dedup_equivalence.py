@@ -148,3 +148,85 @@ def test_blocked_editdist_pairs_equal_allpairs():
     }
     assert blocked == allpairs
     assert len(allpairs) > 0
+
+
+def _brute_jaccard_pairs(rows, threshold=0.7, n=3):
+    """Ground truth for the EXACT ssjoin: all-pairs exact n-gram Jaccard."""
+    import itertools
+
+    sets = {str(r["doc_id"]): frozenset(shingles(r["text"], n)) for r in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        o = len(sa & sb)
+        if not o:
+            continue
+        j = o / (len(sa) + len(sb) - o)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_ssjoin_equals_bruteforce_sf(sf_docs):
+    """Prefix-filtered exact ssjoin == all-pairs brute force on testdata."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs_exact
+
+    expect = _brute_jaccard_pairs(sf_docs, threshold=0.7)
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for b in ngram_jaccard_pairs_exact(
+            rd.from_items(sf_docs), threshold=0.7
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_ssjoin_adversarial_corpus():
+    """Guaranteed recall on a corpus built to stress the filters: identical
+    docs, single-char mutations, empty/short strings, threshold-boundary
+    sizes, and two different thresholds."""
+    import random
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs_exact
+
+    rng = random.Random(7)
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+    ]
+    rows = []
+    k = 0
+    for text in base:
+        for _ in range(6):  # exact + near duplicates
+            s = list(text)
+            for _ in range(rng.randrange(0, 3)):
+                s[rng.randrange(len(s))] = rng.choice("abcdefgh ")
+            rows.append({"doc_id": k, "text": "".join(s)})
+            k += 1
+    for extra in ["", "ab", "abc", "the", "THE  Quick ", "zzzz"]:
+        rows.append({"doc_id": k, "text": extra})
+        k += 1
+    for th in (0.5, 0.8):
+        expect = _brute_jaccard_pairs(rows, threshold=th)
+        got = {
+            (r["src"], r["dst"]): r["jaccard"]
+            for b in ngram_jaccard_pairs_exact(
+                rd.from_items(rows), threshold=th, num_partitions=8
+            ).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        assert set(got) == set(expect), f"threshold {th}"
+        for key in expect:
+            assert abs(got[key] - expect[key]) < 1e-12
