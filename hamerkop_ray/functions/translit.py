@@ -243,6 +243,69 @@ def _romanize_kana(seg: str) -> str:
         sylls.append(r)
     return "".join(sylls)
 
+# Georgian Mkhedruli (0x10D0-0x10F0), national-system letters without the
+# apostrophes (apostrophes hurt name matching; uroman drops them too)
+_GEORGIAN_SEQ = [
+    "a", "b", "g", "d", "e", "v", "z", "t", "i", "k", "l", "m", "n", "o",
+    "p", "zh", "r", "s", "t", "u", "p", "k", "gh", "q", "sh", "ch", "ts",
+    "dz", "ts", "ch", "kh", "j", "h",
+]
+
+# Armenian (0x0531-0x0556 upper / 0x0561-0x0586 lower), classical scheme
+_ARMENIAN_SEQ = [
+    "a", "b", "g", "d", "e", "z", "e", "e", "t", "zh", "i", "l", "kh",
+    "ts", "k", "h", "dz", "gh", "ch", "m", "y", "n", "sh", "o", "ch",
+    "p", "j", "r", "s", "v", "t", "r", "ts", "w", "p", "k", "o", "f",
+]
+
+# Thai (0x0E01-0x0E2E consonants; vowels/marks below).  RTGS-ish, per-char
+# with preposed-vowel reordering (เแโใไ are written BEFORE their consonant).
+_THAI_CONSONANTS = [
+    "k", "kh", "kh", "kh", "kh", "kh", "ng", "ch", "ch", "ch", "s", "ch",
+    "y", "d", "t", "th", "th", "th", "n", "d", "t", "th", "th", "th", "n",
+    "b", "p", "ph", "f", "ph", "f", "ph", "m", "y", "r", "rue", "l", "lue",
+    "w", "s", "s", "s", "h", "l", "o", "h",
+]
+# keys are BLOCK OFFSETS (cp − base) so one table serves Thai and Lao
+_THAI_VOWELS = {
+    0x30: "a", 0x31: "a", 0x32: "a", 0x33: "am", 0x34: "i",
+    0x35: "i", 0x36: "ue", 0x37: "ue", 0x38: "u", 0x39: "u",
+    0x3D: "ia",  # Lao semivowel nyo (0x0EBD); unassigned in the Thai block
+}
+_THAI_PREPOSED = {0x40: "e", 0x41: "ae", 0x42: "o", 0x43: "ai", 0x44: "ai"}
+# tone marks, mai taikhu, thanthakhat (silencer), phinthu: dropped
+_THAI_SKIP = set(range(0x47, 0x4F)) | {0x3A}
+
+
+def _romanize_thai_lao(seg: str, base: int) -> str:
+    """Thai (base 0x0E00) and Lao (base 0x0E80 — the blocks are aligned):
+    consonant table + vowel signs, with preposed vowels re-ordered after
+    their onset consonant (เทพ → thep, not ethep)."""
+    out: list[str] = []
+    pend: str | None = None  # preposed vowel awaiting its consonant
+    for ch in seg:
+        off = ord(ch) - base
+        if off in _THAI_PREPOSED:
+            pend = _THAI_PREPOSED[off]
+        elif 0x01 <= off <= 0x2E:
+            out.append(_THAI_CONSONANTS[off - 1])
+            if pend is not None:
+                out.append(pend)
+                pend = None
+        elif off in _THAI_VOWELS:
+            out.append(_THAI_VOWELS[off])
+        elif off in _THAI_SKIP:
+            continue
+        else:
+            if pend is not None:
+                out.append(pend)
+                pend = None
+            out.append(ch)
+    if pend is not None:
+        out.append(pend)
+    return "".join(out)
+
+
 # Brahmic abugidas share one relative block layout (Unicode Indic blocks are
 # aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
 # Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),
@@ -342,10 +405,12 @@ class RuleRomanizer:
     string.py:135-155), pure python: Ge'ez syllabary, Arabic consonantal
     script, the shared-layout Brahmic abugidas (Devanagari…Malayalam incl.
     Odia), Sinhala, Cyrillic, Greek, Hebrew, Hangul (algorithmic jamo
-    decomposition, Revised Romanization) and kana (Hepburn-ish), plus NFKD
-    accent-strip for Latin-extended.  Characters of unknown scripts (notably
-    CJK ideographs, which need a reading dictionary) pass through unchanged
-    (uroman behavior).
+    decomposition, Revised Romanization), kana (Hepburn-ish), Georgian,
+    Armenian and Thai/Lao (RTGS-ish with preposed-vowel reordering), plus
+    NFKD accent-strip for Latin-extended.  Characters of unknown scripts
+    (notably CJK ideographs, which need a reading dictionary, and the
+    Myanmar/Khmer/Tibetan abugidas) pass through unchanged (uroman
+    behavior).
 
     translate(s, lang) -> str | None with URoman's gating: English or pure-
     ASCII input returns None (nothing to project)."""
@@ -423,6 +488,25 @@ class RuleRomanizer:
                     else:
                         break
                 out.append(_romanize_kana(s[i:j]))
+                i = j
+            elif 0x10D0 <= cp <= 0x10F0:  # Georgian Mkhedruli
+                out.append(_GEORGIAN_SEQ[cp - 0x10D0])
+                i += 1
+            elif 0x0531 <= cp <= 0x0556:  # Armenian uppercase
+                out.append(_ARMENIAN_SEQ[cp - 0x0531].capitalize())
+                i += 1
+            elif 0x0561 <= cp <= 0x0586:  # Armenian lowercase
+                out.append(_ARMENIAN_SEQ[cp - 0x0561])
+                i += 1
+            elif cp == 0x0587:  # Armenian ech-yiwn ligature
+                out.append("ev")
+                i += 1
+            elif 0x0E00 <= cp <= 0x0E7F or 0x0E80 <= cp <= 0x0EFF:  # Thai/Lao
+                base = 0x0E00 if cp <= 0x0E7F else 0x0E80
+                j = i
+                while j < n and base <= ord(s[j]) < base + 0x80:
+                    j += 1
+                out.append(_romanize_thai_lao(s[i:j], base))
                 i = j
             elif 0x0D80 <= cp <= 0x0DFF:  # Sinhala
                 j = i

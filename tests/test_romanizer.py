@@ -169,3 +169,14 @@ def test_translit_probe_cyrillic_surface():
     )
     out = gen.add_candidates(rows)
     assert [c["entity_id"] for c in out[0]["candidates"]] == ["E1"]
+
+
+def test_georgian_armenian_thai_lao():
+    r = RuleRomanizer()
+    assert r.translate("საქართველო") == "sakartvelo"   # Georgia
+    assert r.translate("თბილისი") == "tbilisi"
+    assert r.translate("Հայաստան") == "Hayastan"        # Armenia (case kept)
+    assert r.translate("երեւան") == "erewan"            # classical yiwn = w
+    assert r.translate("և") == "ev"                     # ech-yiwn ligature
+    assert r.translate("กรุงเทพ") == "krungtheph"        # preposed เ reordered
+    assert r.translate("ວຽງຈັນ") == "wiangchan"          # Lao (aligned block)

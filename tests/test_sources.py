@@ -172,3 +172,36 @@ def test_write_submission_batch():
     )
     lines = output.write_submission_batch(t, "run1")
     assert lines["line"].to_pylist() == ["run1\tM1\tFoo\td_NW_1:1-3\tNILC1\tPER\tNAM\t1.0"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lance_io_fallback_and_roundtrip(tmp_path):
+    """read_documents prefers Lance when the package exists, else parquet;
+    both paths must yield identical rows.  In this container only the
+    parquet path runs; the Lance branch is exercised where `lance` ships."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from hamerkop_ray.sources.lance_io import (
+        lance_available,
+        read_documents,
+        write_documents,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    expect = pq.read_table(src, columns=["doc_id", "text"]).to_pylist()
+
+    got = read_documents(str(src)[: -len(".parquet")],
+                         columns=["doc_id", "text"]).take_all()
+    assert sorted(got, key=lambda r: r["doc_id"]) == sorted(
+        expect, key=lambda r: r["doc_id"]
+    )
+
+    out = str(tmp_path / "docs_rt")
+    write_documents(rd.from_items(expect), out)
+    back = read_documents(out, columns=["doc_id", "text"]).take_all()
+    assert sorted(back, key=lambda r: r["doc_id"]) == sorted(
+        expect, key=lambda r: r["doc_id"]
+    )
+    if lance_available():  # pragma: no cover - lance not in this container
+        assert (tmp_path / "docs_rt.lance").exists()
