@@ -191,6 +191,14 @@ def _ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
 
 
+def _simhash_pairs_exact(sf_dir: str):
+    from hamerkop_ray.pipelines.dedup import simhash_pairs_exact
+
+    return simhash_pairs_exact(
+        _docs(sf_dir, ["doc_id", "text"]), max_hamming=3, band_bits=16
+    )
+
+
 def _ngram_jaccard_exact(sf_dir: str):
     from hamerkop_ray.pipelines.dedup import ngram_jaccard_pairs_exact
 
@@ -433,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
         "dedup_simhash_docs": _dedup_simhash,  # no SQL oracle
+        "simhash_pairs_exact": _simhash_pairs_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,  # no SQL oracle (LSH-bucketed)
         "ngram_jaccard_pairs_exact": _ngram_jaccard_exact,
         "similar_customer_names": _similar_customer_names,
@@ -512,6 +521,57 @@ def oracle_sql() -> dict[str, str]:
                          + LEAST(stopword_ratio, 0.5) * 2 * 0.2
                          + uniq_token_ratio * 0.2, 6) AS quality_score
             FROM u
+        """,
+        # exact SimHash Hamming search: FNV-1a simhash reproduced bit-exactly
+        # in SQL (same HUGEINT FNV as doc_fingerprints; per-occurrence ±1 bit
+        # votes; acc > 0 sets the bit), then all-pairs XOR + bit_count — the
+        # ground truth the pigeonhole-banded distributed join must equal
+        "simhash_pairs_exact": """
+            WITH norm AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(s) < 3 THEN
+                       CASE WHEN s = '' THEN [] ELSE [s] END
+                     ELSE list_transform(range(1, length(s) - 1),
+                                         i -> substr(s, CAST(i AS INTEGER), 3))
+                END) AS tok
+              FROM norm
+            ), hashed AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                         CAST(list_transform(range(1, length(tok) + 1), j ->
+                           unicode(substr(tok, CAST(j AS INTEGER), 1))) AS HUGEINT[])),
+                       (acc, c) -> (xor(acc, c % 256) * 1099511628211)
+                                   % 18446744073709551616
+                     ) AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, b.i AS i,
+                     SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << b.i)) % 2 = 1
+                              THEN 1 ELSE -1 END) AS acc
+              FROM hashed, (SELECT unnest(range(0, 64)) AS i) b
+              GROUP BY doc_id, b.i
+            ), sim AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN acc > 0
+                                       THEN CAST(1 AS HUGEINT) << i
+                                       ELSE 0 END), 0) AS sh
+              FROM bits GROUP BY doc_id
+            ), signed AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN sh >= CAST(1 AS HUGEINT) << 63
+                               THEN sh - (CAST(1 AS HUGEINT) << 64)
+                               ELSE sh END AS BIGINT) AS sb
+              FROM sim
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   CAST(bit_count(xor(a.sb, b.sb)) AS BIGINT) AS hamming
+            FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sb, b.sb)) <= 3
         """,
         # exact n-gram Jaccard ssjoin: the SQL all-pairs self-join is the
         # ground truth the prefix-filtered distributed join must reproduce

@@ -201,3 +201,47 @@ def simhash(s: str, n: int = 3, bits: int = 64) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# FNV-1a (code-point & 0xFF convention — same as textstats.rolling_fingerprint
+# and reproducible bit-exactly in DuckDB SQL with HUGEINT arithmetic)
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
+
+
+def fnv1a_u64(tok: str) -> int:
+    h = _FNV_OFFSET
+    for ch in tok:
+        h = ((h ^ (ord(ch) & 0xFF)) * _FNV_PRIME) & _U64
+    return h
+
+
+def simhash_fnv(s: str, n: int = 3, _cache: dict | None = None) -> int:
+    """Charikar SimHash with the FNV-1a token hash — the SQL-oracle-exact
+    variant of ``simhash`` (which uses pandas siphash, not expressible in
+    SQL).  Shingle MULTIPLICITY weights the bit votes, matching a plain
+    per-occurrence sum on both sides.  ``_cache`` memoizes token hashes
+    (char n-gram vocabulary is bounded, so a per-actor dict stays small)."""
+    from collections import Counter
+
+    counts = Counter(shingles(s, n))
+    if not counts:
+        return 0
+    if _cache is None:
+        hs_list = [fnv1a_u64(t) for t in counts]
+    else:
+        hs_list = []
+        for t in counts:
+            h = _cache.get(t)
+            if h is None:
+                h = _cache[t] = fnv1a_u64(t)
+            hs_list.append(h)
+    hs = np.array(hs_list, dtype=np.uint64)
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bitmat = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (np.where(bitmat.astype(bool), 1, -1) * w[:, None]).sum(axis=0)
+    out = 0
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
+    return out

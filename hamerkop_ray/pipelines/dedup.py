@@ -895,6 +895,180 @@ def ngram_jaccard_pairs_exact(
     return verified.map_batches(norm, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Exact SimHash Hamming search (pigeonhole banding — guaranteed recall)
+
+_U32MAX = (1 << 32) - 1
+
+
+class _SimhashFnvBandRows:
+    """(pkey, band, bval, id, sim) rows: one FNV-1a simhash per doc (SQL-
+    reproducible, unlike the siphash variant), one row per band.  With
+    bands > max_hamming the pigeonhole principle guarantees every pair at
+    Hamming ≤ max_hamming collides in at least one band — EXACT recall
+    (HmSearch-style multi-index Hamming search).  Docs with an empty
+    shingle set are skipped (they have no tokens on the SQL side either)."""
+
+    def __init__(self, band_bits, text_col, id_col, num_partitions):
+        self.band_bits = band_bits
+        self.nbands = 64 // band_bits
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_partitions = num_partitions
+        self._tok_cache: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.minhash import simhash_fnv
+        from ..functions.strings import shingles as _sh
+
+        mask = (1 << self.band_bits) - 1
+        pkeys, bands, bvals, ids, sims = [], [], [], [], []
+        for i, text in zip(t[self.id_col].to_pylist(),
+                           t[self.text_col].to_pylist()):
+            if not _sh(text, 3):
+                continue
+            h = simhash_fnv(text, _cache=self._tok_cache)
+            sid = str(i)
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            for b in range(self.nbands):
+                v = (h >> (b * self.band_bits)) & mask
+                # deterministic across processes (python hash() is seeded)
+                pkeys.append(((v * 2654435761 + b) & _U32MAX)
+                             % self.num_partitions)
+                bands.append(b)
+                bvals.append(v)
+                ids.append(sid)
+                sims.append(signed)
+        return pa.table(
+            {"pkey": pa.array(pkeys, pa.int64()),
+             "band": pa.array(bands, pa.int32()),
+             "bval": pa.array(bvals, pa.int64()),
+             "id": pa.array(ids, pa.string()),
+             "sim": pa.array(sims, pa.int64())}
+        )
+
+
+def _bucket_hamming_pairs(max_hamming: int, band_bits: int, counter: str,
+                          pair_chunk: int = 1 << 17):
+    """Per-partition bucket verification: XOR + popcount per candidate pair,
+    emitted ONLY when this band is the pair's FIRST matching band — each
+    pair leaves exactly once across the whole job, no downstream distinct."""
+    nbands = 64 // band_bits
+    shifts = np.arange(nbands, dtype=np.uint64) * np.uint64(band_bits)
+    bmask = np.uint64((1 << band_bits) - 1)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src": pd.Series([], dtype="string"),
+             "dst": pd.Series([], dtype="string"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+        g = g.drop_duplicates(["band", "bval", "id"]).sort_values(
+            ["band", "bval", "id"]
+        )
+        n = len(g)
+        if n < 2:
+            return empty
+        ids = g["id"].to_numpy(dtype=object)
+        sims = g["sim"].to_numpy(dtype=np.int64).view(np.uint64)
+        bands_arr = g["band"].to_numpy(dtype=np.int64)
+        bvals = g["bval"].to_numpy(dtype=np.int64)
+        key_change = (bands_arr[1:] != bands_arr[:-1]) | (bvals[1:] != bvals[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(key_change) + 1, [n]))
+        src_out, dst_out, ham_out = [], [], []
+        verified = 0
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            band0 = int(bands_arr[s])
+            iu, ju = np.triu_indices(m, k=1)
+            for c in range(0, len(iu), pair_chunk):
+                ii = s + iu[c : c + pair_chunk].astype(np.int64)
+                jj = s + ju[c : c + pair_chunk].astype(np.int64)
+                x = sims[ii] ^ sims[jj]
+                verified += len(x)
+                # first matching band == this bucket's band (emit-once rule)
+                bandvals = (x[:, None] >> shifts[None, :]) & bmask
+                fb = (bandvals == 0).argmax(axis=1)
+                keep = fb == band0
+                # exact Hamming distance
+                ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                keep &= ham <= max_hamming
+                hit = np.flatnonzero(keep)
+                for k in hit:
+                    a, b = ids[ii[k]], ids[jj[k]]
+                    if b < a:
+                        a, b = b, a
+                    src_out.append(a)
+                    dst_out.append(b)
+                    ham_out.append(int(ham[k]))
+        if verified:
+            metrics.incr(counter, verified)
+        if not src_out:
+            return empty
+        return pd.DataFrame(
+            {"src": pd.Series(src_out, dtype="string"),
+             "dst": pd.Series(dst_out, dtype="string"),
+             "hamming": pd.Series(ham_out, dtype="int64")}
+        )
+
+    return bucket_pairs
+
+
+def simhash_pairs_exact(
+    docs,
+    *,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """→ Dataset (src, dst, hamming): ALL pairs with Hamming(simhash) ≤
+    max_hamming — GUARANTEED recall via pigeonhole banding (64/band_bits
+    bands; requires bands > max_hamming: ≤ max_hamming differing bits
+    cannot touch every band).  The exact counterpart to simhash_dedup's
+    approximate clustering, using the FNV-1a simhash so a DuckDB all-pairs
+    oracle reproduces it bit-exactly.  Pairs leave their verification task
+    exactly once (first-matching-band rule) — nothing quadratic or
+    duplicated enters a shuffle."""
+    if 64 // band_bits <= max_hamming:
+        raise ValueError(
+            f"need more than max_hamming={max_hamming} bands for exact "
+            f"recall; got {64 // band_bits} bands of {band_bits} bits"
+        )
+    rows = docs.map_batches(
+        _SimhashFnvBandRows,
+        fn_constructor_kwargs=dict(
+            band_bits=band_bits, text_col=text_col, id_col=id_col,
+            num_partitions=num_partitions,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    verified = rows.groupby("pkey").map_groups(
+        _bucket_hamming_pairs(max_hamming, band_bits,
+                              "simhash_pairs_verified"),
+        batch_format="pandas",
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if "src" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()),
+                 "dst": pa.array([], pa.string()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": pc.cast(t["src"], pa.string()),
+             "dst": pc.cast(t["dst"], pa.string()),
+             "hamming": pc.cast(t["hamming"], pa.int64())}
+        )
+
+    return verified.map_batches(norm, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(
     embeddings,
     *,

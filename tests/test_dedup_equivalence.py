@@ -230,3 +230,53 @@ def test_exact_ssjoin_adversarial_corpus():
         assert set(got) == set(expect), f"threshold {th}"
         for key in expect:
             assert abs(got[key] - expect[key]) < 1e-12
+
+
+def _brute_hamming_pairs(rows, max_hamming=3):
+    """Ground truth for the exact Hamming search: all-pairs FNV simhash."""
+    import itertools
+
+    from hamerkop_ray.functions.minhash import simhash_fnv
+
+    sims = {
+        str(r["doc_id"]): simhash_fnv(r["text"])
+        for r in rows
+        if shingles(r["text"], 3)
+    }
+    out = {}
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin(sims[a] ^ sims[b]).count("1")
+        if h <= max_hamming:
+            out[(a, b)] = h
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_simhash_pairs_equal_bruteforce(sf_docs):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import simhash_pairs_exact
+
+    for k, band_bits in ((3, 16), (6, 8)):
+        expect = _brute_hamming_pairs(sf_docs, max_hamming=k)
+        got = {
+            (r["src"], r["dst"]): r["hamming"]
+            for b in simhash_pairs_exact(
+                rd.from_items(sf_docs), max_hamming=k, band_bits=band_bits
+            ).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        assert got == expect, f"k={k} band_bits={band_bits}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_simhash_rejects_too_few_bands():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import simhash_pairs_exact
+
+    with pytest.raises(ValueError):
+        simhash_pairs_exact(
+            rd.from_items([{"doc_id": 1, "text": "abc"}]),
+            max_hamming=4, band_bits=16,
+        )
