@@ -406,6 +406,16 @@ def _er_chains(sf_dir: str):
     )
 
 
+def _events_sliding_windows(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.streaming import sliding_window_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return sliding_window_counts(ev, window_minutes=60, slide_minutes=30)
+
+
 def _events_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -425,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "top_users_by_value": rel.top_users_by_value,
         "events_sessions": _events_sessions,
+        "events_sliding_windows": _events_sliding_windows,
         "part_brand_stats": rel.part_brand_stats,
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
@@ -468,6 +479,24 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "top_users_by_value": rel.TOP_USERS_SQL,
         "events_sessions": __import__("hamerkop_ray.pipelines.streaming", fromlist=["SESSIONIZE_SQL"]).SESSIONIZE_SQL,
+        # sliding 60-min windows on a 30-min slide: each event belongs to
+        # ⌈60/30⌉ = 2 slide-aligned windows; mirror the per-row expansion
+        "events_sliding_windows": """
+            WITH ev AS (
+              SELECT event_type, epoch_us(ts) AS us FROM events
+            ), ex AS (
+              SELECT event_type,
+                     (us // 1800000000) * 1800000000
+                       - w.i * 1800000000 AS start_us
+              FROM ev, (SELECT unnest(range(0, 2)) AS i) w
+              WHERE (us // 1800000000) * 1800000000 - w.i * 1800000000
+                      + 3600000000 > us
+                AND us >= (us // 1800000000) * 1800000000 - w.i * 1800000000
+            )
+            SELECT event_type, start_us // 1000000 AS window_start_epoch,
+                   COUNT(*) AS n_events
+            FROM ex GROUP BY 1, 2
+        """,
         "part_brand_stats": rel.PART_BRAND_SQL,
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,

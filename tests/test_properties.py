@@ -96,3 +96,117 @@ def test_driver_union_find_matches_oracle(pairs):
                 comp[n] = comp[comp[n]]
                 changed = True
     assert labels == comp
+
+
+# --- exact-similarity kernels (Ray-free: emission + bucket verification
+# run as plain functions over pandas partitions) ---------------------------
+
+_doc_corpus = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=24),
+    min_size=2, max_size=24,
+)
+
+
+def _kernel_pairs_ssjoin(texts, threshold):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from hamerkop_ray.functions.strings import shingles
+    from hamerkop_ray.pipelines.dedup import (
+        _partition_bucket_exact_jaccard,
+        _PrefixBitsetRows,
+    )
+
+    df_counts = Counter()
+    for t in texts:
+        df_counts.update(set(shingles(t, 3)))
+    rank = {tok: i for i, tok in
+            enumerate(sorted(df_counts, key=lambda k: (df_counts[k], k)))}
+    emit = _PrefixBitsetRows(rank, threshold, 3, "text", "doc_id", 4)
+    rows = emit(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    if rows.num_rows == 0:
+        return {}
+    fn = _partition_bucket_exact_jaccard(threshold, "prop_test")
+    out = {}
+    pdf = rows.to_pandas()
+    for _, g in pdf.groupby("pkey"):
+        r = fn(g)
+        for rec in r.itertuples(index=False):
+            key = (rec.src, rec.dst)
+            assert key not in out, f"pair {key} emitted twice"
+            out[key] = rec.jaccard
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(_doc_corpus, st.sampled_from([0.5, 0.7, 0.9]))
+def test_exact_ssjoin_kernel_matches_bruteforce(texts, threshold):
+    from hamerkop_ray.functions.strings import shingles
+
+    sets = {str(i): frozenset(shingles(t, 3)) for i, t in enumerate(texts)}
+    expect = {}
+    keys = sorted(sets)
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            a, b = keys[x], keys[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            o = len(sa & sb)
+            if not o:
+                continue
+            j = o / (len(sa) + len(sb) - o)
+            if j >= threshold:
+                expect[(min(a, b), max(a, b))] = j
+    got = _kernel_pairs_ssjoin(texts, threshold)
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(_doc_corpus, st.sampled_from([(3, 16), (6, 8)]))
+def test_exact_simhash_kernel_matches_bruteforce(texts, params):
+    max_hamming, band_bits = params
+    import pandas as pd
+    import pyarrow as pa
+
+    from hamerkop_ray.functions.minhash import simhash_fnv
+    from hamerkop_ray.functions.strings import shingles
+    from hamerkop_ray.pipelines.dedup import (
+        _bucket_hamming_pairs,
+        _SimhashFnvBandRows,
+    )
+
+    sims = {str(i): simhash_fnv(t) for i, t in enumerate(texts)
+            if shingles(t, 3)}
+    expect = {}
+    keys = sorted(sims)
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            a, b = keys[x], keys[y]
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= max_hamming:
+                expect[(min(a, b), max(a, b))] = h
+
+    emit = _SimhashFnvBandRows(band_bits, "text", "doc_id", 4)
+    rows = emit(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {}
+    if rows.num_rows:
+        fn = _bucket_hamming_pairs(max_hamming, band_bits, "prop_test")
+        for _, g in rows.to_pandas().groupby("pkey"):
+            r = fn(g)
+            for rec in r.itertuples(index=False):
+                key = (rec.src, rec.dst)
+                assert key not in got, f"pair {key} emitted twice"
+                got[key] = rec.hamming
+    assert got == expect
