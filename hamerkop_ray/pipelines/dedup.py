@@ -709,6 +709,28 @@ _FB8 = np.array([8 - v.bit_length() if v else 8 for v in range(256)],
                 dtype=np.int64)
 
 
+def _iter_pair_chunks(lens, starts_j, pair_chunk):
+    """Yield (ii, jj) int64 index arrays covering the variable-length
+    candidate ranges {(i, j) : starts_j[i] ≤ j < starts_j[i] + lens[i]} in
+    chunks of ≤ pair_chunk pairs WITHOUT ever materializing the full pair
+    set — a hot bucket's candidate count can exceed memory at corpus scale
+    (the per-chunk footprint is pair_chunk + one range's length)."""
+    cum = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    total = int(cum[-1])
+    for p0 in range(0, total, pair_chunk):
+        p1 = min(p0 + pair_chunk, total)
+        i0 = int(np.searchsorted(cum, p0, side="right")) - 1
+        i1 = int(np.searchsorted(cum, p1, side="left"))
+        seg_lens = lens[i0:i1]
+        ii = np.repeat(np.arange(i0, i1, dtype=np.int64), seg_lens)
+        base = np.repeat(cum[i0:i1], seg_lens)
+        jj = (np.arange(cum[i0], cum[i1], dtype=np.int64) - base
+              + np.repeat(np.asarray(starts_j[i0:i1], dtype=np.int64),
+                          seg_lens))
+        lo_t, hi_t = p0 - int(cum[i0]), p1 - int(cum[i0])
+        yield ii[lo_t:hi_t], jj[lo_t:hi_t]
+
+
 def _partition_bucket_exact_jaccard(threshold: float, counter: str,
                                     pair_chunk: int = 1 << 17):
     """Per-partition bucket verification for the exact ssjoin.  Filter
@@ -768,22 +790,12 @@ def _partition_bucket_exact_jaccard(threshold: float, counter: str,
             # and (b) within the length window size_b ≤ size_a/t (members
             # sorted by size, so the window is one searchsorted slice).
             # This builds ~|idx|×|window| candidates instead of m²/2.
-            lo = np.arange(1, m + 1, dtype=np.int32)
-            hi = np.searchsorted(
-                bsz, (bsz / threshold + 1e-9), side="right"
-            ).astype(np.int32)
+            lo = np.arange(1, m + 1, dtype=np.int64)
+            hi = np.searchsorted(bsz, (bsz / threshold + 1e-9), side="right")
             lens = np.where(bidx, np.maximum(hi - lo, 0), 0)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            off = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
-            iu = np.repeat(np.arange(m, dtype=np.int32), lens)
-            jj_flat = (np.arange(total, dtype=np.int64)
-                       - np.repeat(off, lens)
-                       + np.repeat(lo, lens).astype(np.int64)).astype(np.int32)
-            for c in range(0, total, pair_chunk):
-                ii = s + iu[c : c + pair_chunk].astype(np.int64)
-                jj = s + jj_flat[c : c + pair_chunk].astype(np.int64)
+            for iu, jv in _iter_pair_chunks(lens, lo, pair_chunk):
+                ii = s + iu
+                jj = s + jv
                 sa, sb = sizes[ii], sizes[jj]
                 # positional filter (lower-bound-safe)
                 alpha = np.ceil(frac * (sa.astype(np.float64) + sb) - 1e-9)
@@ -982,10 +994,10 @@ def _bucket_hamming_pairs(max_hamming: int, band_bits: int, counter: str,
             if m < 2:
                 continue
             band0 = int(bands_arr[s])
-            iu, ju = np.triu_indices(m, k=1)
-            for c in range(0, len(iu), pair_chunk):
-                ii = s + iu[c : c + pair_chunk].astype(np.int64)
-                jj = s + ju[c : c + pair_chunk].astype(np.int64)
+            rng = np.arange(1, m + 1, dtype=np.int64)
+            for iu, jv in _iter_pair_chunks(m - rng, rng, pair_chunk):
+                ii = s + iu
+                jj = s + jv
                 x = sims[ii] ^ sims[jj]
                 verified += len(x)
                 # first matching band == this bucket's band (emit-once rule)
