@@ -64,23 +64,29 @@ def sliding_window_counts(events, *, window_minutes: int = 60, slide_minutes: in
     import pyarrow.compute as pc
 
     def expand(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         # normalize to microseconds regardless of the column's timestamp unit
-        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        types_out = []
-        starts_out = []
-        us_list = us.to_pylist()
-        et_list = t["event_type"].to_pylist()
-        for u, et in zip(us_list, et_list):
-            last = (u // slide_us) * slide_us
-            for w in range(n_windows):
-                start = last - w * slide_us
-                if start + window_us > u >= start:
-                    types_out.append(et)
-                    starts_out.append(start // 1_000_000)
+        us = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        last = (us // slide_us) * slide_us
+        types_parts, starts_parts = [], []
+        for w in range(n_windows):  # n_windows = ⌈window/slide⌉, tiny
+            start = last - w * slide_us
+            keep = (start + window_us > us) & (us >= start)
+            types_parts.append(et[keep])
+            starts_parts.append(start[keep] // 1_000_000)
         return pa.table(
             {
-                "event_type": pa.array(types_out, pa.string()),
-                "window_start_epoch": pa.array(starts_out, pa.int64()),
+                "event_type": pa.array(
+                    np.concatenate(types_parts), pa.string()
+                ),
+                "window_start_epoch": pa.array(
+                    np.concatenate(starts_parts), pa.int64()
+                ),
             }
         )
 
