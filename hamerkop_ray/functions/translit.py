@@ -306,6 +306,51 @@ def _romanize_thai_lao(seg: str, base: int) -> str:
     return "".join(out)
 
 
+# Frequent-hanzi pinyin subset (toneless).  Han readings need a dictionary
+# (uroman ships one); this is a curated high-confidence subset covering
+# common GPE/person-name characters so the translit candidate probe works
+# for frequent Chinese names — anything outside it passes through unchanged
+# (the honest-gate convention, same as the rest of the CJK space).
+_HANZI_PINYIN = {
+    "北": "bei", "京": "jing", "上": "shang", "海": "hai", "中": "zhong",
+    "国": "guo", "國": "guo", "南": "nan", "东": "dong", "東": "dong",
+    "西": "xi", "州": "zhou", "广": "guang", "廣": "guang", "深": "shen",
+    "圳": "zhen", "香": "xiang", "港": "gang", "台": "tai", "湾": "wan",
+    "灣": "wan", "天": "tian", "津": "jin", "重": "chong", "庆": "qing",
+    "慶": "qing", "成": "cheng", "都": "du", "武": "wu", "汉": "han",
+    "漢": "han", "杭": "hang", "苏": "su", "蘇": "su", "河": "he",
+    "湖": "hu", "山": "shan", "江": "jiang", "省": "sheng", "市": "shi",
+    "县": "xian", "縣": "xian", "区": "qu", "區": "qu", "新": "xin",
+    "疆": "jiang", "藏": "zang", "蒙": "meng", "古": "gu", "宁": "ning",
+    "寧": "ning", "夏": "xia", "青": "qing", "贵": "gui", "貴": "gui",
+    "云": "yun", "雲": "yun", "福": "fu", "建": "jian", "安": "an",
+    "徽": "hui", "浙": "zhe", "陕": "shan", "陝": "shan", "甘": "gan",
+    "肃": "su", "肅": "su", "吉": "ji", "林": "lin", "辽": "liao",
+    "遼": "liao", "黑": "hei", "龙": "long", "龍": "long", "王": "wang",
+    "李": "li", "张": "zhang", "張": "zhang", "刘": "liu", "劉": "liu",
+    "陈": "chen", "陳": "chen", "杨": "yang", "楊": "yang", "赵": "zhao",
+    "趙": "zhao", "黄": "huang", "黃": "huang", "周": "zhou", "吴": "wu",
+    "吳": "wu", "徐": "xu", "孙": "sun", "孫": "sun", "马": "ma",
+    "馬": "ma", "朱": "zhu", "胡": "hu", "郭": "guo", "何": "he",
+    "高": "gao", "罗": "luo", "羅": "luo", "郑": "zheng", "鄭": "zheng",
+    "梁": "liang", "谢": "xie", "謝": "xie", "宋": "song", "唐": "tang",
+    "许": "xu", "許": "xu", "邓": "deng", "鄧": "deng", "冯": "feng",
+    "馮": "feng", "韩": "han", "韓": "han", "曹": "cao", "曾": "zeng",
+    "彭": "peng", "萧": "xiao", "蕭": "xiao", "蔡": "cai", "潘": "pan",
+    "田": "tian", "董": "dong", "袁": "yuan", "于": "yu", "余": "yu",
+    "叶": "ye", "葉": "ye", "蒋": "jiang", "蔣": "jiang", "杜": "du",
+    "苗": "miao", "毛": "mao", "泽": "ze", "澤": "ze", "习": "xi",
+    "習": "xi", "近": "jin", "平": "ping", "大": "da", "小": "xiao",
+    "长": "chang", "長": "chang", "春": "chun", "秋": "qiu", "日": "ri",
+    "本": "ben", "人": "ren", "民": "min", "共": "gong", "和": "he",
+    "华": "hua", "華": "hua", "白": "bai", "金": "jin", "石": "shi",
+    "文": "wen", "明": "ming", "光": "guang", "永": "yong", "万": "wan",
+    "萬": "wan", "亚": "ya", "亞": "ya", "欧": "ou", "歐": "ou",
+    "美": "mei", "英": "ying", "法": "fa", "德": "de", "俄": "e",
+    "印": "yin", "度": "du", "尼": "ni", "泰": "tai", "越": "yue",
+    "朝": "chao", "鲜": "xian", "鮮": "xian", "韦": "wei", "韋": "wei",
+}
+
 # Brahmic abugidas share one relative block layout (Unicode Indic blocks are
 # aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
 # Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),
@@ -407,10 +452,11 @@ class RuleRomanizer:
     Odia), Sinhala, Cyrillic, Greek, Hebrew, Hangul (algorithmic jamo
     decomposition, Revised Romanization), kana (Hepburn-ish), Georgian,
     Armenian and Thai/Lao (RTGS-ish with preposed-vowel reordering), plus
-    NFKD accent-strip for Latin-extended.  Characters of unknown scripts
-    (notably CJK ideographs, which need a reading dictionary, and the
-    Myanmar/Khmer/Tibetan abugidas) pass through unchanged (uroman
-    behavior).
+    NFKD accent-strip for Latin-extended, and a curated frequent-hanzi
+    pinyin subset (common GPE/person-name characters; Han readings need a
+    full dictionary, which uroman ships and this container does not).
+    Characters of unknown scripts (rare hanzi, Myanmar/Khmer/Tibetan
+    abugidas) pass through unchanged (uroman behavior).
 
     translate(s, lang) -> str | None with URoman's gating: English or pure-
     ASCII input returns None (nothing to project)."""
@@ -489,6 +535,9 @@ class RuleRomanizer:
                         break
                 out.append(_romanize_kana(s[i:j]))
                 i = j
+            elif 0x4E00 <= cp <= 0x9FFF:  # CJK unified (frequent-hanzi subset)
+                out.append(_HANZI_PINYIN.get(s[i], s[i]))
+                i += 1
             elif 0x10D0 <= cp <= 0x10F0:  # Georgian Mkhedruli
                 out.append(_GEORGIAN_SEQ[cp - 0x10D0])
                 i += 1

@@ -180,3 +180,13 @@ def test_georgian_armenian_thai_lao():
     assert r.translate("և") == "ev"                     # ech-yiwn ligature
     assert r.translate("กรุงเทพ") == "krungtheph"        # preposed เ reordered
     assert r.translate("ວຽງຈັນ") == "wiangchan"          # Lao (aligned block)
+
+
+def test_hanzi_frequent_subset():
+    r = RuleRomanizer()
+    assert r.translate("北京") == "beijing"
+    assert r.translate("上海") == "shanghai"
+    assert r.translate("毛泽东") == "maozedong"
+    assert r.translate("中华人民共和国") == "zhonghuarenmingongheguo"
+    # rare hanzi: honest passthrough (no fake readings)
+    assert r.translate("魑魅魍魉") is None
