@@ -425,6 +425,54 @@ def _events_sessions(sf_dir: str):
     return sessionize(ev, gap_minutes=30)
 
 
+def _events_asof_orders(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return asof_join(
+        ev, orders,
+        key="user_id", right_key="o_custkey",
+        left_on="ts", right_on="o_orderdate", tie_col="o_orderkey",
+        left_cols=["event_id"], right_cols=["o_totalprice"],
+    )
+
+
+def _events_window_running(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import window_lag_running
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return window_lag_running(ev)
+
+
+def _top_tokens(sf_dir: str):
+    from hamerkop_ray.pipelines.text import top_tokens
+
+    return top_tokens(_docs(sf_dir, columns=["text"]), k=25)
+
+
+_QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _order_price_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.quantiles import exact_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+    return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational
@@ -436,6 +484,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": rel.top_users_by_value,
         "events_sessions": _events_sessions,
         "events_sliding_windows": _events_sliding_windows,
+        "events_asof_orders": _events_asof_orders,
+        "events_window_running": _events_window_running,
+        "order_price_quantiles": _order_price_quantiles,
         "part_brand_stats": rel.part_brand_stats,
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
@@ -444,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "top3_orders_per_priority": rel.top3_orders_per_priority,
         # text analysis
+        "top_tokens": _top_tokens,
         "doc_stats": _doc_stats,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
@@ -497,6 +549,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM ex GROUP BY 1, 2
         """,
+        "events_asof_orders": __import__(
+            "hamerkop_ray.pipelines.temporal", fromlist=["EVENTS_ASOF_ORDERS_SQL"]
+        ).EVENTS_ASOF_ORDERS_SQL,
+        "events_window_running": __import__(
+            "hamerkop_ray.pipelines.temporal", fromlist=["WINDOW_LAG_RUNNING_SQL"]
+        ).WINDOW_LAG_RUNNING_SQL,
+        "order_price_quantiles": __import__(
+            "hamerkop_ray.pipelines.quantiles", fromlist=["quantiles_sql"]
+        ).quantiles_sql("orders", "o_totalprice", _QUANTILE_QS),
+        "top_tokens": __import__(
+            "hamerkop_ray.pipelines.text", fromlist=["TOP_TOKENS_SQL"]
+        ).TOP_TOKENS_SQL,
         "part_brand_stats": rel.PART_BRAND_SQL,
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,

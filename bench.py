@@ -125,6 +125,10 @@ def run_bench() -> dict:
         "simhash_pairs_exact",
         "ann_topk_bruteforce",
         "embedding_neardup_pairs",
+        "events_asof_orders",
+        "events_window_running",
+        "order_price_quantiles",
+        "top_tokens",
     ]:
         timed(name, qs[name])
 

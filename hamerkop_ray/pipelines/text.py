@@ -60,6 +60,87 @@ def lang_id(docs, concurrency=4):
     )
 
 
+def top_tokens(docs, k: int = 25):
+    """→ (tok, n): the k most frequent whitespace tokens across the corpus,
+    EXACT, ties broken by token ascending (deterministic).
+
+    Scale shape: per-batch Counter partials → ONE narrow (tok, n) groupby
+    sum (vocabulary-sized, not corpus-sized) → per-batch top-k combiner
+    (pyarrow select_k) → single tiny final merge.  No global sort, no
+    whole-vocabulary driver materialization beyond k×blocks rows.  Unlike
+    stages.joins.approx_topk this is exact: the combiner runs AFTER the
+    global aggregate, where each token appears exactly once, so per-batch
+    top-k candidates provably contain the global top-k."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ws = re.compile(r"\s+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(tok for tok in ws.split(text) if tok)
+        return pa.table(
+            {"tok": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    totals = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    sort_keys = [("n", "descending"), ("tok", "ascending")]
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        t = pa.table({"tok": pc.cast(t["tok"], pa.string()),
+                      "n": pc.cast(t["n"], pa.int64())})
+        if t.num_rows > k:
+            t = t.take(pc.select_k_unstable(t, k=k, sort_keys=sort_keys))
+        return t
+
+    cand = pa.concat_tables(
+        b for b in totals.map_batches(batch_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    # final deterministic top-k over ≤ k×blocks candidate rows
+    order = sorted(
+        zip(cand["tok"].to_pylist(), cand["n"].to_pylist()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return rd.from_arrow(
+        pa.table(
+            {"tok": pa.array([r[0] for r in order], pa.string()),
+             "n": pa.array(np.asarray([r[1] for r in order], dtype=np.int64),
+                           pa.int64())}
+        )
+    )
+
+
+TOP_TOKENS_SQL = """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT unnest(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 25
+"""
+
+
 def fingerprints(docs, window: int = 8, keep: int = 4):
     """(doc_id, fingerprint) — winnowing-style rolling-hash fingerprint."""
 

@@ -1,0 +1,183 @@
+"""Temporal operators (as-of join, per-key windows) and exact quantiles."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+
+def _ds(rows, cols):
+    import ray.data as rd
+
+    return rd.from_items([dict(zip(cols, r)) for r in rows])
+
+
+def _t(minutes):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minutes)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_backward_with_ties():
+    from hamerkop_ray.pipelines.temporal import asof_join
+
+    left = _ds(
+        [(10, _t(5), 1), (11, _t(100), 1), (12, _t(0), 2), (13, _t(50), 3)],
+        ["event_id", "ts", "user_id"],
+    )
+    # user 1: orders at t=0 (keys 100, 101 — tie on date) and t=60
+    # user 2: only a LATER order (t=10) → its event at t=0 has no match
+    right = _ds(
+        [
+            (100, 1, _t(0), 5.0),
+            (101, 1, _t(0), 6.0),
+            (102, 1, _t(60), 7.0),
+            (103, 2, _t(10), 8.0),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = {
+        r["event_id"]: r
+        for b in asof_join(
+            left, right,
+            key="user_id", right_key="o_custkey",
+            left_on="ts", right_on="o_orderdate", tie_col="o_orderkey",
+            left_cols=["event_id"], right_cols=["o_totalprice"],
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    # tie at the same orderdate → max orderkey wins
+    assert out[10]["o_orderkey"] == 101 and out[10]["o_totalprice"] == 6.0
+    # later order at t=60 ≤ t=100 wins over the t=0 pair
+    assert out[11]["o_orderkey"] == 102
+    # event before user 2's first order: dropped (inner as-of)
+    assert 12 not in out
+    # user 3 has no orders at all: dropped
+    assert 13 not in out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_bruteforce_random():
+    from hamerkop_ray.pipelines.temporal import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 200
+    lrows = [
+        (i, _t(int(rng.integers(0, 500))), int(rng.integers(0, 10)))
+        for i in range(n_l)
+    ]
+    rrows = [
+        (1000 + j, int(rng.integers(0, 10)), _t(int(rng.integers(0, 500))),
+         float(j))
+        for j in range(n_r)
+    ]
+    out = {
+        r["event_id"]: (r["o_orderkey"],)
+        for b in asof_join(
+            _ds(lrows, ["event_id", "ts", "user_id"]),
+            _ds(rrows, ["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"]),
+            key="user_id", right_key="o_custkey",
+            left_on="ts", right_on="o_orderdate", tie_col="o_orderkey",
+            left_cols=["event_id"], right_cols=["o_totalprice"],
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    for eid, ts, uid in lrows:
+        cands = [(od, ok) for ok, ck, od, _ in rrows if ck == uid and od <= ts]
+        if not cands:
+            assert eid not in out
+        else:
+            want = max(cands)[1]
+            assert out[eid][0] == want, eid
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_lag_running():
+    from hamerkop_ray.pipelines.temporal import window_lag_running
+
+    ev = _ds(
+        [
+            (1, 1, _t(0), 10.0),
+            (2, 1, _t(5), 20.0),
+            (3, 1, _t(5), 30.0),  # same ts as event 2 → event_id breaks the tie
+            (4, 2, _t(0), 5.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: r
+        for b in window_lag_running(ev).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert [out[i]["seq"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["prev_value"] == 0.0
+    assert out[2]["prev_value"] == 10.0
+    assert out[3]["prev_value"] == 20.0
+    assert out[3]["running_value"] == 60.0
+    assert out[4]["seq"] == 1 and out[4]["running_value"] == 5.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_matches_numpy_order_stats():
+    import math
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.normal(100, 30, 5000), rng.uniform(-50, 0, 2000)]
+    )
+    ds = rd.from_items([{"x": float(v)} for v in vals]).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(ds, "x", qs, bins=64,
+                                 collect_threshold=100).to_pylist()
+    }
+    sv = np.sort(vals)
+    n = len(vals)
+    for q in qs:
+        k = min(max(int(math.ceil(q * n)) - 1, 0), n - 1)
+        assert out[q] == sv[k], q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_mass_point():
+    """A massive duplicate value must resolve via the width-collapse rule,
+    not loop or collect the whole mass."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.quantiles import exact_quantiles
+
+    vals = np.concatenate([np.full(20000, 42.0), [1.0, 99.0]])
+    ds = rd.from_items([{"x": float(v)} for v in vals]).repartition(4)
+    out = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(ds, "x", [0.5], bins=16,
+                                 collect_threshold=50).to_pylist()
+    }
+    assert out[0.5] == 42.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_tokens_exact_with_ties():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.text import top_tokens
+
+    docs = rd.from_items(
+        [
+            {"text": "a a a b b c"},
+            {"text": "b  c\td"},   # runs of whitespace collapse
+            {"text": "d z"},
+        ]
+    ).repartition(3)
+    rows = [
+        r for b in top_tokens(docs, k=3).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    got = [(r["tok"], r["n"]) for r in rows]
+    # counts: a=3 b=3 c=2 d=2 z=1 → top-3 by (n desc, tok asc): a, b, c
+    assert sorted(got) == [("a", 3), ("b", 3), ("c", 2)]
