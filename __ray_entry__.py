@@ -473,6 +473,31 @@ def _order_price_quantiles(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS)
 
 
+def _order_price_quantiles_by_priority(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.quantiles import exact_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_totalprice"])
+    return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS,
+                           group_col="o_orderpriority")
+
+
+def _doc_sample_10pct(sf_dir: str):
+    from hamerkop_ray.pipelines.sampling import hash_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, 0.1, "doc_id")
+
+
+def _doc_sample_stratified(sf_dir: str):
+    from hamerkop_ray.pipelines.sampling import stratified_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return stratified_sample(docs, 20, group_col="lang", key_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational
@@ -487,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _events_asof_orders,
         "events_window_running": _events_window_running,
         "order_price_quantiles": _order_price_quantiles,
+        "order_price_quantiles_by_priority": _order_price_quantiles_by_priority,
         "part_brand_stats": rel.part_brand_stats,
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
@@ -494,6 +520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": rel.distinct_event_types,
         "customers_without_orders": rel.customers_without_orders,
         "top3_orders_per_priority": rel.top3_orders_per_priority,
+        # sampling (deterministic, hash-keyed)
+        "doc_sample_10pct": _doc_sample_10pct,
+        "doc_sample_stratified": _doc_sample_stratified,
         # text analysis
         "top_tokens": _top_tokens,
         "doc_stats": _doc_stats,
@@ -558,9 +587,21 @@ def oracle_sql() -> dict[str, str]:
         "order_price_quantiles": __import__(
             "hamerkop_ray.pipelines.quantiles", fromlist=["quantiles_sql"]
         ).quantiles_sql("orders", "o_totalprice", _QUANTILE_QS),
+        "order_price_quantiles_by_priority": __import__(
+            "hamerkop_ray.pipelines.quantiles", fromlist=["quantiles_sql"]
+        ).quantiles_sql("orders", "o_totalprice", _QUANTILE_QS,
+                        group_col="o_orderpriority"),
         "top_tokens": __import__(
             "hamerkop_ray.pipelines.text", fromlist=["TOP_TOKENS_SQL"]
         ).TOP_TOKENS_SQL,
+        "doc_sample_10pct": __import__(
+            "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
+        ).hash_sample_sql("documents", "doc_id", 0.1,
+                          select="doc_id, lang, n_chars"),
+        "doc_sample_stratified": __import__(
+            "hamerkop_ray.pipelines.sampling",
+            fromlist=["stratified_sample_sql"]
+        ).stratified_sample_sql("documents", "lang", "doc_id", 20),
         "part_brand_stats": rel.PART_BRAND_SQL,
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,

@@ -144,6 +144,34 @@ def test_exact_quantiles_matches_numpy_order_stats():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_exact_quantiles_grouped():
+    import math
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {"g": ["lo", "mid", "hi"][int(rng.integers(0, 3))],
+         "x": float(rng.normal(100, 30))}
+        for _ in range(3000)
+    ]
+    ds = rd.from_items(rows).repartition(6)
+    qs = [0.25, 0.9]
+    out = {
+        (r["g"], r["q"]): r["value"]
+        for r in exact_quantiles(ds, "x", qs, group_col="g", bins=32,
+                                 collect_threshold=64).to_pylist()
+    }
+    for g in ("lo", "mid", "hi"):
+        vals = np.sort([r["x"] for r in rows if r["g"] == g])
+        for q in qs:
+            k = min(max(int(math.ceil(q * len(vals))) - 1, 0), len(vals) - 1)
+            assert out[(g, q)] == vals[k], (g, q)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_exact_quantiles_mass_point():
     """A massive duplicate value must resolve via the width-collapse rule,
     not loop or collect the whole mass."""
