@@ -520,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": rel.distinct_event_types,
         "customers_without_orders": rel.customers_without_orders,
         "top3_orders_per_priority": rel.top3_orders_per_priority,
+        "events_type_pivot": rel.events_type_pivot,
+        "orders_rollup": rel.orders_rollup,
         # sampling (deterministic, hash-keyed)
         "doc_sample_10pct": _doc_sample_10pct,
         "doc_sample_stratified": _doc_sample_stratified,
@@ -609,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": rel.DISTINCT_EVENT_TYPES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "top3_orders_per_priority": rel.TOP3_PER_PRIORITY_SQL,
+        "events_type_pivot": rel.EVENTS_TYPE_PIVOT_SQL,
+        "orders_rollup": rel.ORDERS_ROLLUP_SQL,
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens

@@ -525,3 +525,117 @@ FROM (
 )
 WHERE rn <= 3
 """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot (one-hot aggregate): per user, one COLUMN per event type with
+    that type's count, plus the total value — the wide-format feature-table
+    shape model-training pipelines produce from event logs.
+
+    Scale shape: the widening happens per batch (vectorized equality per
+    type — the type list is a fixed, coarse vocabulary), so the shuffle
+    carries one narrow row per (user × batch) partial, NOT per event, and
+    the final groupby sums |users| rows × |types| int columns.  Ray Data
+    has no native pivot; this is the composition-(a) expression."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def widen(b):
+        import pandas as pd
+
+        df = pd.DataFrame({"user_id": b["user_id"].to_numpy()})
+        et = b["event_type"].to_numpy()
+        for ty in _EVENT_TYPES:
+            df[f"n_{ty}"] = (et == ty).astype("int64")
+        df["total_value"] = b["value"].to_numpy()
+        # per-batch partial: one row per user seen in the batch
+        return df.groupby("user_id", as_index=False).sum()
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _EVENT_TYPES]
+    aggs.append(Sum("total_value", alias_name="total_value"))
+    out = (
+        ds.map_batches(widen, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+    return _round_cols(out, {"total_value": 4})
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): counts + revenue at
+    all three aggregation levels (status×priority, status subtotal, grand
+    total) in ONE pass — subtotal levels marked 'ALL' (a sentinel instead
+    of SQL's rollup NULLs, so group keys stay non-null for the shuffle).
+
+    Scale shape: per-batch partial aggregate FIRST (groups are coarse:
+    |status|×|priority| ≤ 15), then each partial row expands into its 3
+    rollup levels, then one tiny global groupby — the rollup expansion
+    multiplies partial rows, never event rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial_rollup(b):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "status": b["o_orderstatus"].to_numpy(),
+                "priority": b["o_orderpriority"].to_numpy(),
+                "revenue": b["o_totalprice"].to_numpy(),
+            }
+        )
+        base = df.groupby(["status", "priority"], as_index=False).agg(
+            n_orders=("revenue", "size"), revenue=("revenue", "sum")
+        )
+        lvl1 = base.assign(priority="ALL")
+        lvl2 = base.assign(status="ALL", priority="ALL")
+        return pd.concat([base, lvl1, lvl2], ignore_index=True)
+
+    out = (
+        ds.map_batches(partial_rollup, batch_format="pandas")
+        .groupby(["status", "priority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue", alias_name="revenue"),
+        )
+    )
+
+    # whole-unit revenue as int64: at grand-total magnitude (~1e9 × sf) a
+    # 2-decimal double round is ulp-unstable across summation orders —
+    # integer units compare bit-exactly on every engine
+    def to_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("revenue")
+        return t.set_column(
+            i, "revenue", pc.cast(pc.round(t["revenue"]), pa.int64())
+        )
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""

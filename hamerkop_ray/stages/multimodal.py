@@ -91,6 +91,86 @@ class DecodeMedia:
         return pa.Table.from_pylist(rows, schema=MEDIA_FEATURES)
 
 
+FRAME_FEATURES = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("doc_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("pts_ms", pa.int64()),  # presentation timestamp of the frame
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def _fake_video_meta(ref: str) -> tuple[int, float]:
+    """Deterministic fake video container probe: (n_frames, fps) from the
+    ref hash — 24-240 frames at 24 or 30 fps."""
+    seed = int.from_bytes(
+        hashlib.blake2b(ref.encode(), digest_size=8).digest(), "little"
+    )
+    rng = np.random.default_rng(seed)
+    return int(rng.integers(24, 241)), float(rng.choice([24.0, 30.0]))
+
+
+class FrameSampleMedia(DecodeMedia):
+    """Actor-pool stage: (doc_id, media_ref) rows → one feature row per
+    SAMPLED video frame (the brief's frame-sample op).
+
+    strategy="uniform" picks n_frames evenly spaced frames (first frame
+    always included); strategy="stride" picks every `stride`-th frame.
+    Output is FRAME_FEATURES — frame_idx + pts_ms carry the temporal
+    position so downstream stages (dedup across frames, scene features)
+    can window on it.  Codec layer stubbed exactly as DecodeMedia: each
+    sampled frame decodes via the deterministic fake decoder (a real
+    pipeline swaps _fake_pixels for an ffmpeg/PyAV seek+decode); the
+    actor/batch plumbing is the real, tested part.
+
+    Scale note: output rows = inputs × samples — keep batch_size small
+    (frames are the wide payload) and let sampling happen INSIDE the
+    decode actor (never decode-all-then-filter)."""
+
+    def __init__(self, codec: str = "fake", feature_dim: int = 16,
+                 resize: int = 8, strategy: str = "uniform",
+                 n_frames: int = 4, stride: int = 10):
+        super().__init__(codec=codec, feature_dim=feature_dim, resize=resize)
+        if strategy not in ("uniform", "stride"):
+            raise ValueError(f"unknown sampling strategy {strategy!r}")
+        self.strategy = strategy
+        self.n_frames = n_frames
+        self.stride = stride
+
+    def _sample_indices(self, total: int) -> np.ndarray:
+        if self.strategy == "stride":
+            return np.arange(0, total, self.stride, dtype=np.int64)
+        n = min(self.n_frames, total)
+        # evenly spaced, first frame included, deterministic rounding
+        return np.unique((np.linspace(0, total - 1, n)).astype(np.int64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, ref in zip(t["doc_id"].to_pylist(),
+                               t["media_ref"].to_pylist()):
+            total, fps = _fake_video_meta(ref)
+            for idx in self._sample_indices(total):
+                pixels = _fake_pixels(f"{ref}#frame{int(idx)}")
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "doc_id": doc_id,
+                        "frame_idx": int(idx),
+                        "pts_ms": int(idx / fps * 1000),
+                        "width": pixels.shape[1],
+                        "height": pixels.shape[0],
+                        "feature": self._feature(pixels).tolist(),
+                    }
+                )
+        if not rows:
+            return FRAME_FEATURES.empty_table()
+        return pa.Table.from_pylist(rows, schema=FRAME_FEATURES)
+
+
 def extract_media_refs(docs):
     """documents(spans) → (doc_id, media_ref) rows for media spans.
 
@@ -126,6 +206,22 @@ def media_features(docs, *, concurrency=2, batch_size: int = 32):
     refs = extract_media_refs(docs)
     return refs.map_batches(
         DecodeMedia,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def video_frame_features(docs, *, concurrency=2, batch_size: int = 16,
+                         **sample_kwargs):
+    """End-to-end frame-sampling path: extract refs → per-frame features.
+    batch_size defaults smaller than media_features — each input row fans
+    out into several decoded frames."""
+    refs = extract_media_refs(docs)
+    return refs.map_batches(
+        FrameSampleMedia,
+        fn_constructor_kwargs=sample_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
