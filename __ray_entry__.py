@@ -484,6 +484,12 @@ def _order_price_quantiles_by_priority(sf_dir: str):
                            group_col="o_orderpriority")
 
 
+def _tfidf_top_terms(sf_dir: str):
+    from hamerkop_ray.pipelines.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), k=5)
+
+
 def _doc_sample_10pct(sf_dir: str):
     from hamerkop_ray.pipelines.sampling import hash_sample
 
@@ -527,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _doc_sample_stratified,
         # text analysis
         "top_tokens": _top_tokens,
+        "tfidf_top_terms": _tfidf_top_terms,
         "doc_stats": _doc_stats,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
@@ -596,6 +603,9 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": __import__(
             "hamerkop_ray.pipelines.text", fromlist=["TOP_TOKENS_SQL"]
         ).TOP_TOKENS_SQL,
+        "tfidf_top_terms": __import__(
+            "hamerkop_ray.pipelines.text", fromlist=["TFIDF_TOP_TERMS_SQL"]
+        ).TFIDF_TOP_TERMS_SQL,
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

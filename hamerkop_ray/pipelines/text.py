@@ -141,6 +141,115 @@ LIMIT 25
 """
 
 
+def tfidf_top_terms(docs, k: int = 5, *, n_docs: int | None = None):
+    """→ (doc_id, tok, tf, tfidf): each document's k highest-scoring
+    whitespace tokens by tf·idf (idf = ln(N/df)), ties broken by token
+    ascending; tfidf rounded to 6 decimals BEFORE ranking so the order is
+    reproducible across engines (ln differs by ulps between libms).
+
+    Scale shape (the classic two-pass distributed TF-IDF):
+      pass 1  document frequencies — per-batch distinct-token partials →
+              ONE vocab-bounded (tok, df) groupby → collected and
+              broadcast via ray.put (the small-side pattern: a whitespace
+              token vocabulary is corpus-sublinear; for web-scale
+              vocabularies swap the broadcast for a tok-partitioned join).
+      pass 2  per-doc tf × broadcast idf, per-doc top-k — embarrassingly
+              parallel map_batches, no shuffle.
+    """
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    ws = re.compile(r"\s+")
+
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(set(tok for tok in ws.split(text) if tok))
+        return pa.table(
+            {"tok": pa.array(list(c.keys()), pa.string()),
+             "df": pa.array(list(c.values()), pa.int64())}
+        )
+
+    dfs = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    idf = {}
+    for b in dfs.iter_batches(batch_format="pyarrow"):
+        for tok, df in zip(b["tok"].to_pylist(), b["df"].to_pylist()):
+            idf[tok] = math.log(n_docs / df)
+    idf_ref = ray.put(idf)
+
+    class TopTerms:
+        def __init__(self, idf_ref):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_ids, toks, tfs, scores = [], [], [], []
+            for i, text in zip(t["doc_id"].to_pylist(),
+                               t["text"].to_pylist()):
+                c = Counter(tok for tok in ws.split(text) if tok)
+                scored = sorted(
+                    (
+                        (round(tf * self.idf[tok], 6), tok, tf)
+                        for tok, tf in c.items()
+                    ),
+                    key=lambda r: (-r[0], r[1]),
+                )[:k]
+                for s, tok, tf in scored:
+                    doc_ids.append(i)
+                    toks.append(tok)
+                    tfs.append(tf)
+                    scores.append(s)
+            return pa.table(
+                {"doc_id": pa.array(doc_ids, pa.int64()),
+                 "tok": pa.array(toks, pa.string()),
+                 "tf": pa.array(tfs, pa.int64()),
+                 "tfidf": pa.array(scores, pa.float64())}
+            )
+
+    return docs.map_batches(
+        TopTerms, fn_constructor_kwargs=dict(idf_ref=idf_ref),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, tok
+), df AS (
+    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+    SELECT COUNT(*) AS nn FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           ROUND(tf.tf * LN(CAST(n.nn AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, tok, tf, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, tok) AS rn
+    FROM scored
+)
+SELECT doc_id, tok, tf, tfidf FROM ranked WHERE rn <= 5
+"""
+
+
 def fingerprints(docs, window: int = 8, keep: int = 4):
     """(doc_id, fingerprint) — winnowing-style rolling-hash fingerprint."""
 

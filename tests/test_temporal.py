@@ -209,3 +209,31 @@ def test_top_tokens_exact_with_ties():
     got = [(r["tok"], r["n"]) for r in rows]
     # counts: a=3 b=3 c=2 d=2 z=1 → top-3 by (n desc, tok asc): a, b, c
     assert sorted(got) == [("a", 3), ("b", 3), ("c", 2)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms_hand_computed():
+    import math
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.text import tfidf_top_terms
+
+    # 3 docs; "x" appears in all (idf=0), "y" in one (idf=ln 3).
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "x x y"},
+            {"doc_id": 2, "text": "x w"},
+            {"doc_id": 3, "text": "x w"},
+        ]
+    ).repartition(3)
+    rows = [
+        r
+        for b in tfidf_top_terms(docs, k=1).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    got = {r["doc_id"]: (r["tok"], r["tf"], r["tfidf"]) for r in rows}
+    assert got[1] == ("y", 1, round(math.log(3.0), 6))
+    ln32 = round(math.log(3.0 / 2.0), 6)
+    assert got[2] == ("w", 1, ln32)
+    assert got[3] == ("w", 1, ln32)
