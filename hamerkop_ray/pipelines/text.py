@@ -60,6 +60,26 @@ def lang_id(docs, concurrency=4):
     )
 
 
+def _flat_tokens(col):
+    """(parent_indices, tokens) for a string column: whitespace-split
+    (RE2 ``\\s+`` — same engine as the DuckDB oracles), flattened, empty
+    tokens removed.  All Arrow C++ kernels, no per-row Python.
+
+    `col` may be a ChunkedArray; chunks are combined first because
+    ``list_parent_indices`` numbers parents per-chunk, not globally.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern_regex(col, pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    return parents.filter(keep), flat.filter(keep)
+
+
 def top_tokens(docs, k: int = 25):
     """→ (tok, n): the k most frequent whitespace tokens across the corpus,
     EXACT, ties broken by token ascending (deterministic).
@@ -71,24 +91,22 @@ def top_tokens(docs, k: int = 25):
     stages.joins.approx_topk this is exact: the combiner runs AFTER the
     global aggregate, where each token appears exactly once, so per-batch
     top-k candidates provably contain the global top-k."""
-    import re
-    from collections import Counter
-
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ws = re.compile(r"\s+")
-
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in t["text"].to_pylist():
-            c.update(tok for tok in ws.split(text) if tok)
+        if t.num_rows == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        _, toks = _flat_tokens(t["text"])
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([([], "count_all")])
         return pa.table(
-            {"tok": pa.array(list(c.keys()), pa.string()),
-             "n": pa.array(list(c.values()), pa.int64())}
+            {"tok": pc.cast(g["tok"], pa.string()),
+             "n": pc.cast(g["count_all"], pa.int64())}
         )
 
     totals = (
@@ -156,26 +174,32 @@ def tfidf_top_terms(docs, k: int = 5, *, n_docs: int | None = None):
       pass 2  per-doc tf × broadcast idf, per-doc top-k — embarrassingly
               parallel map_batches, no shuffle.
     """
-    import math
-    import re
-    from collections import Counter
-
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
-
-    ws = re.compile(r"\s+")
 
     if n_docs is None:
         n_docs = docs.count()
 
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "tok": pa.array([], pa.string()),
+         "tf": pa.array([], pa.int64()), "tfidf": pa.array([], pa.float64())}
+    )
+
     def df_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in t["text"].to_pylist():
-            c.update(set(tok for tok in ws.split(text) if tok))
+        if t.num_rows == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        parents, toks = _flat_tokens(t["text"])
+        # distinct (doc, tok) pairs, then per-token doc counts — both C++
+        pairs = pa.table({"i": parents, "tok": toks}).group_by(["i", "tok"])
+        g = pairs.aggregate([]).group_by("tok").aggregate([([], "count_all")])
         return pa.table(
-            {"tok": pa.array(list(c.keys()), pa.string()),
-             "df": pa.array(list(c.values()), pa.int64())}
+            {"tok": pc.cast(g["tok"], pa.string()),
+             "df": pc.cast(g["count_all"], pa.int64())}
         )
 
     dfs = (
@@ -183,42 +207,61 @@ def tfidf_top_terms(docs, k: int = 5, *, n_docs: int | None = None):
         .groupby("tok")
         .aggregate(Sum("df", alias_name="df"))
     )
-    idf = {}
-    for b in dfs.iter_batches(batch_format="pyarrow"):
-        for tok, df in zip(b["tok"].to_pylist(), b["df"].to_pylist()):
-            idf[tok] = math.log(n_docs / df)
-    idf_ref = ray.put(idf)
+    vocab = pa.concat_tables(
+        b for b in dfs.iter_batches(batch_format="pyarrow")
+    ).combine_chunks()
+    idf_vals = np.log(float(n_docs) / vocab["df"].to_numpy().astype(np.float64))
+    # broadcast once (Arrow buffers are zero-copy through the object store)
+    vocab_ref = ray.put(
+        pa.table({"tok": pc.cast(vocab["tok"], pa.string()),
+                  "idf": pa.array(idf_vals, pa.float64())})
+    )
 
     class TopTerms:
-        def __init__(self, idf_ref):
-            self.idf = ray.get(idf_ref)
+        def __init__(self, vocab_ref, k):
+            v = ray.get(vocab_ref)
+            self.tok = v["tok"].combine_chunks()
+            self.idf = v["idf"].to_numpy()
+            self.k = k
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            doc_ids, toks, tfs, scores = [], [], [], []
-            for i, text in zip(t["doc_id"].to_pylist(),
-                               t["text"].to_pylist()):
-                c = Counter(tok for tok in ws.split(text) if tok)
-                scored = sorted(
-                    (
-                        (round(tf * self.idf[tok], 6), tok, tf)
-                        for tok, tf in c.items()
-                    ),
-                    key=lambda r: (-r[0], r[1]),
-                )[:k]
-                for s, tok, tf in scored:
-                    doc_ids.append(i)
-                    toks.append(tok)
-                    tfs.append(tf)
-                    scores.append(s)
-            return pa.table(
-                {"doc_id": pa.array(doc_ids, pa.int64()),
-                 "tok": pa.array(toks, pa.string()),
-                 "tf": pa.array(tfs, pa.int64()),
-                 "tfidf": pa.array(scores, pa.float64())}
+            if t.num_rows == 0:
+                return empty
+            parents, toks = _flat_tokens(t["text"])
+            tf_tbl = (
+                pa.table({"i": parents, "tok": toks})
+                .group_by(["i", "tok"])
+                .aggregate([([], "count_all")])
             )
+            tf = pc.cast(tf_tbl["count_all"], pa.int64())
+            # vectorized idf lookup; tokens absent from the broadcast vocab
+            # (only possible with a caller-supplied corpus mismatch) score
+            # as df=1 → idf=ln(N)
+            pos = pc.index_in(tf_tbl["tok"], value_set=self.tok)
+            missing = pc.is_null(pos).to_numpy(zero_copy_only=False)
+            pos_np = (
+                pc.fill_null(pos, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            idf = np.where(missing, np.log(float(n_docs)), self.idf[pos_np])
+            score = pc.round(
+                pc.multiply(pc.cast(tf, pa.float64()), pa.array(idf)), ndigits=6
+            )
+            tbl = pa.table(
+                {"doc_id": pc.cast(t["doc_id"].take(tf_tbl["i"]), pa.int64()),
+                 "tok": pc.cast(tf_tbl["tok"], pa.string()),
+                 "tf": tf, "tfidf": score}
+            ).sort_by(
+                [("doc_id", "ascending"), ("tfidf", "descending"),
+                 ("tok", "ascending")]
+            )
+            d = tbl["doc_id"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            counts = np.diff(np.r_[starts, len(d)])
+            rank = np.arange(len(d)) - np.repeat(starts, counts)
+            return tbl.filter(pa.array(rank < self.k))
 
     return docs.map_batches(
-        TopTerms, fn_constructor_kwargs=dict(idf_ref=idf_ref),
+        TopTerms, fn_constructor_kwargs=dict(vocab_ref=vocab_ref, k=k),
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
