@@ -490,6 +490,12 @@ def _tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), k=5)
 
 
+def _doc_repetition(sf_dir: str):
+    from hamerkop_ray.pipelines.text import repetition_signals
+
+    return repetition_signals(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def _doc_sample_10pct(sf_dir: str):
     from hamerkop_ray.pipelines.sampling import hash_sample
 
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
         "doc_fingerprints": _doc_fingerprints,
+        "doc_repetition": _doc_repetition,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
@@ -606,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": __import__(
             "hamerkop_ray.pipelines.text", fromlist=["TFIDF_TOP_TERMS_SQL"]
         ).TFIDF_TOP_TERMS_SQL,
+        "doc_repetition": __import__(
+            "hamerkop_ray.pipelines.text", fromlist=["REPETITION_SQL"]
+        ).REPETITION_SQL,
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

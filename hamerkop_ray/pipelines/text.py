@@ -293,6 +293,152 @@ SELECT doc_id, tok, tf, tfidf FROM ranked WHERE rn <= 5
 """
 
 
+def repetition_signals(docs):
+    """→ (doc_id, n_lines, dup_line_frac, dup_line_char_frac, n_2grams,
+    top_2gram_frac, dup_2gram_frac): the classic web-corpus repetition
+    filters (duplicate-line and repeated-n-gram fractions, as popularized
+    by the Gopher/C4 cleaning rules).  Fractions are rounded to 6 decimals
+    for cross-engine stability; docs with no lines / no 2-grams score 0.0.
+
+    Definitions (matching REPETITION_SQL exactly):
+      lines          = text split on \\n, empty lines dropped
+      dup_line_frac  = 1 - distinct_lines / total_lines
+      dup_line_char_frac = 1 - chars(distinct lines) / chars(all lines)
+      2-grams        = consecutive whitespace-token pairs joined by " "
+      top_2gram_frac = occurrences of the most frequent 2-gram / total
+      dup_2gram_frac = 1 - distinct_2grams / total_2grams
+
+    Scale shape: pure per-batch map_batches — zero shuffle; every kernel
+    is Arrow C++ (split/flatten/hash group_by) or numpy bincount.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_ints = {"n_lines": np.zeros(n, np.int64),
+                    "n_2grams": np.zeros(n, np.int64)}
+        fr = {k: np.zeros(n, np.float64)
+              for k in ("dup_line_frac", "dup_line_char_frac",
+                        "top_2gram_frac", "dup_2gram_frac")}
+        if n:
+            col = t["text"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # ---- duplicate lines
+            lines = pc.split_pattern(col, "\n")
+            lp = pc.list_parent_indices(lines)
+            lf = pc.list_flatten(lines)
+            keep = pc.not_equal(lf, "")
+            lp, lf = lp.filter(keep), lf.filter(keep)
+            if len(lf):
+                llen = pc.utf8_length(lf)
+                g = (
+                    pa.table({"i": lp, "line": lf, "len": llen})
+                    .group_by(["i", "line"])
+                    .aggregate([("len", "max"), ([], "count_all")])
+                )
+                lp_np = lp.to_numpy()
+                gi = g["i"].to_numpy()
+                tot = np.bincount(lp_np, minlength=n)
+                dist = np.bincount(gi, minlength=n)
+                tot_ch = np.bincount(
+                    lp_np, weights=llen.to_numpy().astype(np.float64),
+                    minlength=n)
+                dist_ch = np.bincount(
+                    gi, weights=g["len_max"].to_numpy().astype(np.float64),
+                    minlength=n)
+                has = tot > 0
+                out_ints["n_lines"] = tot.astype(np.int64)
+                fr["dup_line_frac"][has] = 1.0 - dist[has] / tot[has]
+                hc = tot_ch > 0
+                fr["dup_line_char_frac"][hc] = 1.0 - dist_ch[hc] / tot_ch[hc]
+            # ---- repeated word 2-grams
+            parents, toks = _flat_tokens(col)
+            p_np = parents.to_numpy()
+            if len(p_np) > 1:
+                valid = pa.array(p_np[1:] == p_np[:-1])
+                left = toks.slice(0, len(toks) - 1).filter(valid)
+                right = toks.slice(1).filter(valid)
+                gram = pc.binary_join_element_wise(left, right, " ")
+                gp = p_np[:-1][p_np[1:] == p_np[:-1]]
+                if len(gp):
+                    gg = (
+                        pa.table({"i": pa.array(gp), "g": gram})
+                        .group_by(["i", "g"])
+                        .aggregate([([], "count_all")])
+                    )
+                    cnts = gg["count_all"].to_numpy()
+                    ggi = gg["i"].to_numpy()
+                    tot2 = np.bincount(gp, minlength=n)
+                    dist2 = np.bincount(ggi, minlength=n)
+                    mx = np.zeros(n, np.float64)
+                    np.maximum.at(mx, ggi, cnts.astype(np.float64))
+                    h2 = tot2 > 0
+                    out_ints["n_2grams"] = tot2.astype(np.int64)
+                    fr["top_2gram_frac"][h2] = mx[h2] / tot2[h2]
+                    fr["dup_2gram_frac"][h2] = 1.0 - dist2[h2] / tot2[h2]
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "n_lines": pa.array(out_ints["n_lines"], pa.int64()),
+             "dup_line_frac": pa.array(np.round(fr["dup_line_frac"], 6)),
+             "dup_line_char_frac":
+                 pa.array(np.round(fr["dup_line_char_frac"], 6)),
+             "n_2grams": pa.array(out_ints["n_2grams"], pa.int64()),
+             "top_2gram_frac": pa.array(np.round(fr["top_2gram_frac"], 6)),
+             "dup_2gram_frac": pa.array(np.round(fr["dup_2gram_frac"], 6))}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+REPETITION_SQL = """
+WITH lines AS (
+    SELECT doc_id, l FROM (
+        SELECT doc_id, unnest(STRING_SPLIT(text, chr(10))) AS l
+        FROM documents
+    ) WHERE l <> ''
+), lstat AS (
+    SELECT doc_id, COUNT(*) AS tot, COUNT(DISTINCT l) AS dist,
+           SUM(LENGTH(l)) AS tot_chars
+    FROM lines GROUP BY doc_id
+), ldist AS (
+    SELECT doc_id, SUM(LENGTH(l)) AS dist_chars
+    FROM (SELECT DISTINCT doc_id, l FROM lines) GROUP BY doc_id
+), toks AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '') AS ts
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS g
+    FROM toks
+), gcnt AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+), gstat AS (
+    SELECT doc_id, SUM(c) AS tot2, COUNT(*) AS dist2, MAX(c) AS mx
+    FROM gcnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ls.tot, 0) AS BIGINT) AS n_lines,
+       ROUND(COALESCE(1.0 - ls.dist / CAST(ls.tot AS DOUBLE), 0.0), 6)
+           AS dup_line_frac,
+       ROUND(COALESCE(1.0 - ld.dist_chars / CAST(ls.tot_chars AS DOUBLE), 0.0),
+             6) AS dup_line_char_frac,
+       CAST(COALESCE(gs.tot2, 0) AS BIGINT) AS n_2grams,
+       ROUND(COALESCE(gs.mx / CAST(gs.tot2 AS DOUBLE), 0.0), 6)
+           AS top_2gram_frac,
+       ROUND(COALESCE(1.0 - gs.dist2 / CAST(gs.tot2 AS DOUBLE), 0.0), 6)
+           AS dup_2gram_frac
+FROM documents d
+LEFT JOIN lstat ls USING (doc_id)
+LEFT JOIN ldist ld USING (doc_id)
+LEFT JOIN gstat gs USING (doc_id)
+"""
+
+
 def fingerprints(docs, window: int = 8, keep: int = 4):
     """(doc_id, fingerprint) — winnowing-style rolling-hash fingerprint."""
 

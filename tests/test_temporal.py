@@ -237,3 +237,44 @@ def test_tfidf_top_terms_hand_computed():
     ln32 = round(math.log(3.0 / 2.0), 6)
     assert got[2] == ("w", 1, ln32)
     assert got[3] == ("w", 1, ln32)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_signals_hand_computed():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.text import repetition_signals
+
+    docs = rd.from_items(
+        [
+            # 3 lines, "a b" duplicated; 2-grams of line-joined text
+            {"doc_id": 1, "text": "a b\na b\nc d"},
+            # no newline, tokens: x x x -> 2-grams: "x x","x x"
+            {"doc_id": 2, "text": "x x x"},
+            {"doc_id": 3, "text": ""},
+        ]
+    ).repartition(2)
+    rows = [
+        r
+        for b in repetition_signals(docs).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    got = {r["doc_id"]: r for r in rows}
+    d1 = got[1]
+    # lines: ["a b","a b","c d"] -> 3 total, 2 distinct; chars 3+3+3 vs 3+3
+    assert d1["n_lines"] == 3
+    assert d1["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert d1["dup_line_char_frac"] == round(1 - 6 / 9, 6)
+    # tokens a b a b c d -> 2-grams: "a b","b a","a b","b c","c d" (5 total,
+    # 4 distinct, top count 2)
+    assert d1["n_2grams"] == 5
+    assert d1["top_2gram_frac"] == round(2 / 5, 6)
+    assert d1["dup_2gram_frac"] == round(1 - 4 / 5, 6)
+    d2 = got[2]
+    assert (d2["n_lines"], d2["dup_line_frac"]) == (1, 0.0)
+    assert d2["n_2grams"] == 2
+    assert d2["top_2gram_frac"] == 1.0
+    assert d2["dup_2gram_frac"] == 0.5
+    d3 = got[3]
+    assert d3["n_lines"] == 0 and d3["n_2grams"] == 0
+    assert d3["top_2gram_frac"] == 0.0
