@@ -496,6 +496,78 @@ def _doc_repetition(sf_dir: str):
     return repetition_signals(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _pii_redaction(sf_dir: str):
+    """Deterministic PII-bearing contact strings built from c_custkey
+    (the slim test customer table has no phone column), then scrubbed by
+    the generic redact_pii operator.  The construction is mirrored
+    verbatim in PII_REDACTION_SQL."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.text import redact_pii
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        ks = k.astype(str)
+        return pd.DataFrame(
+            {
+                "c_custkey": k,
+                "text": (
+                    "contact cust" + ks + " <user" + ks
+                    + "@example.com> ip 10." + (k % 256).astype(str)
+                    + ".0." + (k % 100).astype(str)
+                    + " tel +1-555-" + (k % 10000).astype(str).str.zfill(4)
+                    + " ok"
+                ),
+            }
+        )
+
+    contacts = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(build, batch_format="pandas")
+    return redact_pii(contacts, text_col="text", id_col="c_custkey")
+
+
+PII_REDACTION_SQL = """
+WITH t AS (
+    SELECT c_custkey,
+           'contact cust' || CAST(c_custkey AS VARCHAR) || ' <user'
+           || CAST(c_custkey AS VARCHAR) || '@example.com> ip 10.'
+           || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+           || CAST(c_custkey % 100 AS VARCHAR) || ' tel +1-555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ok'
+           AS text
+    FROM customer
+), s1 AS (
+    SELECT c_custkey,
+           CAST(LEN(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM t
+), s2 AS (
+    SELECT c_custkey, n_emails,
+           CAST(LEN(regexp_extract_all(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+               AS n_ips,
+           regexp_replace(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t2
+    FROM s1
+), s3 AS (
+    SELECT c_custkey, n_emails, n_ips,
+           CAST(LEN(regexp_extract_all(t2, '\\+\\d{1,3}-\\d{3}-\\d{4}\\b'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\\+\\d{1,3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+               AS text_redacted
+    FROM s2
+)
+SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
+"""
+
+
 def _doc_sample_10pct(sf_dir: str):
     from hamerkop_ray.pipelines.sampling import hash_sample
 
@@ -545,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _doc_langid,  # no SQL oracle (ngram profiles)
         "doc_fingerprints": _doc_fingerprints,
         "doc_repetition": _doc_repetition,
+        "pii_redaction": _pii_redaction,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
@@ -616,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": __import__(
             "hamerkop_ray.pipelines.text", fromlist=["REPETITION_SQL"]
         ).REPETITION_SQL,
+        "pii_redaction": PII_REDACTION_SQL,
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

@@ -439,6 +439,42 @@ LEFT JOIN gstat gs USING (doc_id)
 """
 
 
+# PII scrub rules, applied IN ORDER (counts taken against the text as it
+# stands when the rule runs — mirror the same order in any SQL oracle).
+# RE2 syntax only (pyarrow and DuckDB both use RE2, so semantics match).
+PII_RULES = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{1,3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ (id_col, text_redacted, n_emails, n_ips, n_phones): scrub emails,
+    IPv4 addresses and phone numbers from a text column, counting each.
+
+    The training-data staple: PII removal before corpus release.  Pure
+    per-batch map_batches (zero shuffle); each rule is one RE2
+    count + replace kernel pair over the whole batch.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        out = {id_col: t[id_col]}
+        counts = {}
+        for name, pat, repl in PII_RULES:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64())
+            col = pc.replace_substring_regex(col, pat, repl)
+        out["text_redacted"] = col
+        out.update(counts)
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprints(docs, window: int = 8, keep: int = 4):
     """(doc_id, fingerprint) — winnowing-style rolling-hash fingerprint."""
 

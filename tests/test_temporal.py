@@ -278,3 +278,29 @@ def test_repetition_signals_hand_computed():
     d3 = got[3]
     assert d3["n_lines"] == 0 and d3["n_2grams"] == 0
     assert d3["top_2gram_frac"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redact_pii_hand_computed():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.text import redact_pii
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1,
+             "text": "mail a.b@x.io and c@d.org, ip 192.168.0.1, "
+                     "tel +1-555-0042 done"},
+            {"doc_id": 2, "text": "nothing here"},
+        ]
+    )
+    rows = {r["doc_id"]: r
+            for b in redact_pii(ds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()}
+    r1 = rows[1]
+    assert r1["n_emails"] == 2 and r1["n_ips"] == 1 and r1["n_phones"] == 1
+    assert r1["text_redacted"] == (
+        "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE> done")
+    r2 = rows[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["text_redacted"] == "nothing here"
