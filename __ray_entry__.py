@@ -568,6 +568,34 @@ SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
 """
 
 
+_DECONTAM_EVAL_FRAC = 0.02
+
+
+def _doc_decontaminate(sf_dir: str):
+    """Flag documents sharing word 3-grams with a deterministic 2%
+    'benchmark' carve of the corpus (md5-fraction keyed on doc_id, the
+    same predicate the SQL oracle uses)."""
+    import ray
+
+    from hamerkop_ray.pipelines.decontam import decontaminate, eval_ngrams
+    from hamerkop_ray.pipelines.sampling import hash_sample
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ev = hash_sample(_docs(sf_dir, ["doc_id", "text"]),
+                     _DECONTAM_EVAL_FRAC, "doc_id")
+    grams_ref = ray.put(eval_ngrams(ev, n=3))
+    return decontaminate(docs, grams_ref, n=3)
+
+
+def _doc_decontaminate_sql() -> str:
+    from hamerkop_ray.pipelines.decontam import decontaminate_sql
+    from hamerkop_ray.pipelines.sampling import _threshold_hex
+
+    pred = (f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{_threshold_hex(_DECONTAM_EVAL_FRAC)}'")
+    return decontaminate_sql("documents", "doc_id", "text", 3, pred)
+
+
 def _doc_sample_10pct(sf_dir: str):
     from hamerkop_ray.pipelines.sampling import hash_sample
 
@@ -618,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_repetition": _doc_repetition,
         "pii_redaction": _pii_redaction,
+        "doc_decontaminate": _doc_decontaminate,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
@@ -690,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
             "hamerkop_ray.pipelines.text", fromlist=["REPETITION_SQL"]
         ).REPETITION_SQL,
         "pii_redaction": PII_REDACTION_SQL,
+        "doc_decontaminate": _doc_decontaminate_sql(),
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

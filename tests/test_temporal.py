@@ -304,3 +304,35 @@ def test_redact_pii_hand_computed():
     r2 = rows[2]
     assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
     assert r2["text_redacted"] == "nothing here"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_hand_computed():
+    import ray
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.decontam import decontaminate, eval_ngrams
+
+    ev = rd.from_items([{"doc_id": 100, "text": "the quick brown fox jumps"}])
+    grams_ref = ray.put(eval_ngrams(ev, n=3))
+    docs = rd.from_items(
+        [
+            # 3-grams: "the quick brown","quick brown fox","brown fox ran"
+            # -> 2 of 3 contaminated, 10*2 >= 3*3 -> flagged
+            {"doc_id": 1, "text": "the quick brown fox ran"},
+            {"doc_id": 2, "text": "completely clean text here now"},
+            {"doc_id": 3, "text": "too short"},
+        ]
+    ).repartition(2)
+    rows = {
+        r["doc_id"]: r
+        for b in decontaminate(docs, grams_ref, n=3)
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_contaminated"] == 2
+    assert rows[1]["contaminated_frac"] == round(2 / 3, 6)
+    assert rows[1]["is_contaminated"] is True
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_contaminated"] == 0
+    assert rows[2]["is_contaminated"] is False
+    assert rows[3]["n_grams"] == 0 and rows[3]["is_contaminated"] is False
