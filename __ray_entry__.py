@@ -568,6 +568,38 @@ SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
 """
 
 
+def _events_distinct_ids_hll(sf_dir: str):
+    """Approximate distinct event ids via the HLL sketch (p=14, ~0.8%
+    error) — one scan, 16 KiB partials, raw column never shuffles.  No
+    SQL oracle (approximate); accuracy and partition-independence are
+    unit-tested in tests/test_sketches.py."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import hll_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    est = hll_distinct(ds, "event_id")
+    return rd.from_arrow(
+        pa.table({"n_distinct_hll": pa.array([est], pa.int64())})
+    )
+
+
+def _events_distinct_users_by_type_hll(sf_dir: str):
+    """Per-event-type approximate distinct users via the HLL AggregateFn."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import HllDistinct
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .groupby("event_type")
+        .aggregate(HllDistinct("user_id", alias_name="n_users_hll"))
+    )
+
+
 _DECONTAM_EVAL_FRAC = 0.02
 
 
@@ -647,6 +679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _doc_repetition,
         "pii_redaction": _pii_redaction,
         "doc_decontaminate": _doc_decontaminate,
+        # sketches (approximate by design — no SQL oracle, unit-tested)
+        "events_distinct_ids_hll": _events_distinct_ids_hll,
+        "events_distinct_users_by_type_hll":
+            _events_distinct_users_by_type_hll,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)

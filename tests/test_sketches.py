@@ -1,0 +1,72 @@
+"""HyperLogLog sketch tests: accuracy vs exact, partition-independence,
+and the groupby AggregateFn path."""
+import numpy as np
+import pytest
+
+from hamerkop_ray.functions import hll
+
+
+def test_hll_accuracy_and_determinism():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 20_000, size=100_000)
+    exact = len(np.unique(vals))
+    reg = hll.add_values(hll.empty_registers(), vals)
+    est = hll.estimate(reg)
+    assert abs(est - exact) / exact < 0.02
+    # order/partition independence: fold in any split, same registers
+    reg2 = hll.empty_registers()
+    for chunk in np.array_split(vals[::-1], 13):
+        hll.add_values(reg2, chunk)
+    assert np.array_equal(reg, reg2)
+
+
+def test_hll_merge_is_union():
+    a_vals = np.arange(0, 5000)
+    b_vals = np.arange(2500, 7500)
+    a = hll.add_values(hll.empty_registers(), a_vals)
+    b = hll.add_values(hll.empty_registers(), b_vals)
+    merged = hll.merge(a, b)
+    both = hll.add_values(hll.empty_registers(), np.arange(0, 7500))
+    assert np.array_equal(merged, both)
+
+
+def test_hll_small_range_linear_counting():
+    reg = hll.add_values(hll.empty_registers(), np.arange(100))
+    assert abs(hll.estimate(reg) - 100) <= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_dataset_partition_independent():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import hll_distinct
+
+    items = [{"u": int(i % 777)} for i in range(20_000)]
+    e1 = hll_distinct(rd.from_items(items).repartition(3), "u")
+    e2 = hll_distinct(rd.from_items(items).repartition(17), "u")
+    assert e1 == e2
+    assert abs(e1 - 777) / 777 < 0.02
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_groupby_aggregate_matches_local():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import HllDistinct
+
+    items = [
+        {"g": "a" if i % 3 else "b", "u": int(i % 211)} for i in range(5_000)
+    ]
+    out = (
+        rd.from_items(items)
+        .repartition(7)
+        .groupby("g")
+        .aggregate(HllDistinct("u", alias_name="nd"))
+        .take_all()
+    )
+    got = {r["g"]: r["nd"] for r in out}
+    # local single-process HLL per group must agree exactly
+    for g in ("a", "b"):
+        vals = np.array([r["u"] for r in items if r["g"] == g])
+        reg = hll.add_values(hll.empty_registers(), vals)
+        assert got[g] == hll.estimate(reg)
