@@ -600,6 +600,19 @@ def _events_distinct_users_by_type_hll(sf_dir: str):
     )
 
 
+def _doc_chunks(sf_dir: str):
+    from hamerkop_ray.pipelines.packing import doc_chunks
+
+    return doc_chunks(_docs(sf_dir, ["doc_id", "text"]), chunk_tokens=64)
+
+
+def _doc_packing(sf_dir: str):
+    from hamerkop_ray.pipelines.packing import doc_packing
+
+    return doc_packing(_docs(sf_dir, ["doc_id", "lang", "text"]),
+                       capacity=1024)
+
+
 _DECONTAM_EVAL_FRAC = 0.02
 
 
@@ -679,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _doc_repetition,
         "pii_redaction": _pii_redaction,
         "doc_decontaminate": _doc_decontaminate,
+        # sequence chunking / packing
+        "doc_chunks": _doc_chunks,
+        "doc_packing": _doc_packing,
         # sketches (approximate by design — no SQL oracle, unit-tested)
         "events_distinct_ids_hll": _events_distinct_ids_hll,
         "events_distinct_users_by_type_hll":
@@ -756,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
         ).REPETITION_SQL,
         "pii_redaction": PII_REDACTION_SQL,
         "doc_decontaminate": _doc_decontaminate_sql(),
+        "doc_chunks": __import__(
+            "hamerkop_ray.pipelines.packing", fromlist=["doc_chunks_sql"]
+        ).doc_chunks_sql(64),
+        "doc_packing": __import__(
+            "hamerkop_ray.pipelines.packing", fromlist=["doc_packing_sql"]
+        ).doc_packing_sql(1024),
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

@@ -336,3 +336,56 @@ def test_decontaminate_hand_computed():
     assert rows[2]["n_grams"] == 3 and rows[2]["n_contaminated"] == 0
     assert rows[2]["is_contaminated"] is False
     assert rows[3]["n_grams"] == 0 and rows[3]["is_contaminated"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunks_hand_computed():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.packing import doc_chunks
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e"},   # chunks of 2: ab cd e
+            {"doc_id": 2, "text": "x"},
+            {"doc_id": 3, "text": ""},
+        ]
+    ).repartition(2)
+    rows = sorted(
+        (
+            r
+            for b in doc_chunks(docs, chunk_tokens=2)
+            .iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert [(r["doc_id"], r["chunk_id"], r["n_tokens_chunk"], r["chunk_text"])
+            for r in rows] == [
+        (1, 0, 2, "a b"), (1, 1, 2, "c d"), (1, 2, 1, "e"), (2, 0, 1, "x")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_packing_hand_computed():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.packing import doc_packing
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "lang": "en", "text": "a b c"},      # 3 toks @ 0
+            {"doc_id": 2, "lang": "en", "text": "d e"},        # 2 toks @ 3
+            {"doc_id": 3, "lang": "en", "text": "f"},          # 1 tok  @ 5
+            {"doc_id": 4, "lang": "fr", "text": "u v w x"},    # 4 toks @ 0
+        ]
+    ).repartition(3)
+    rows = {
+        r["doc_id"]: r
+        for b in doc_packing(docs, capacity=4)
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert (rows[1]["start_offset"], rows[1]["bin_id"]) == (0, 0)
+    assert (rows[2]["start_offset"], rows[2]["bin_id"]) == (3, 0)
+    assert (rows[3]["start_offset"], rows[3]["bin_id"]) == (5, 1)
+    assert (rows[4]["start_offset"], rows[4]["bin_id"]) == (0, 0)
