@@ -676,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": rel.customer_order_counts,
         "distinct_event_types": rel.distinct_event_types,
         "customers_without_orders": rel.customers_without_orders,
+        "customers_without_orders_bloom":
+            rel.customers_without_orders_bloom,
         "top3_orders_per_priority": rel.top3_orders_per_priority,
         "events_type_pivot": rel.events_type_pivot,
         "orders_rollup": rel.orders_rollup,
@@ -792,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "distinct_event_types": rel.DISTINCT_EVENT_TYPES_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customers_without_orders_bloom": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "top3_orders_per_priority": rel.TOP3_PER_PRIORITY_SQL,
         "events_type_pivot": rel.EVENTS_TYPE_PIVOT_SQL,
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,

@@ -129,6 +129,13 @@ def run_bench() -> dict:
         "events_window_running",
         "order_price_quantiles",
         "top_tokens",
+        "tfidf_top_terms",
+        "doc_repetition",
+        "pii_redaction",
+        "doc_decontaminate",
+        "doc_chunks",
+        "doc_packing",
+        "events_distinct_ids_hll",
     ]:
         timed(name, qs[name])
 

@@ -484,6 +484,78 @@ WHERE o_custkey IS NULL
 """
 
 
+def customers_without_orders_bloom(sf_dir: str):
+    """Same EXACT result as customers_without_orders (same SQL oracle),
+    via the bloom-prefilter idiom that matters at 100-TB scale: per-batch
+    partial Bloom filters of the urgent-order custkeys are OR-merged
+    driver-side (bit arrays, ~180 KB each — the column never collects)
+    and broadcast once with ray.put; each customer batch then drops
+    bloom-definite non-members IMMEDIATELY (no false negatives, so they
+    are provably in the answer), and only the small maybe-set pays the
+    exact anti-join.  The two customer branches re-run the cheap probe —
+    the cost of keeping both streams lazy."""
+    import ray
+
+    from ..functions.bloom import BloomFilter, optimal_params
+    from ..stages.joins import broadcast_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
+
+    urgent_keys = orders.map_batches(urgent, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+
+    n_est = max(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows, 1)
+    m, k = optimal_params(n_est, fpp=0.01)
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        f = BloomFilter(m, k)
+        if t.num_rows:
+            f.add(t["o_custkey"].to_numpy())
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    bloom = BloomFilter(m, k)
+    import numpy as np
+
+    for b in urgent_keys.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b["bits"].to_pylist():
+            bloom.bits |= np.frombuffer(raw, np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def split(want_maybe: bool):
+        class Probe:
+            def __init__(self, bloom_ref):
+                self.bloom = ray.get(bloom_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                hit = self.bloom.might_contain(t["c_custkey"].to_numpy())
+                return t.filter(pa.array(hit if want_maybe else ~hit))
+
+        return Probe
+
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+    definite_non = customers.map_batches(
+        split(False), fn_constructor_kwargs=dict(bloom_ref=bloom_ref),
+        batch_format="pyarrow", concurrency=(1, 8))
+    maybe = customers.map_batches(
+        split(True), fn_constructor_kwargs=dict(bloom_ref=bloom_ref),
+        batch_format="pyarrow", concurrency=(1, 8))
+    verified = broadcast_semi_join(
+        maybe, urgent_keys, "c_custkey", "o_custkey", anti=True,
+        num_partitions=_npartitions(sf_dir, "customer", "orders"),
+    )
+    return definite_non.union(verified)
+
+
 def top3_orders_per_priority(sf_dir: str):
     """Windowed top-N per group (ROW_NUMBER analog), combiner-style: a
     per-BATCH partial top-3-per-priority first (any global per-group top-3

@@ -70,3 +70,28 @@ def test_hll_groupby_aggregate_matches_local():
         vals = np.array([r["u"] for r in items if r["g"] == g])
         reg = hll.add_values(hll.empty_registers(), vals)
         assert got[g] == hll.estimate(reg)
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    import numpy as np
+
+    from hamerkop_ray.functions.bloom import BloomFilter
+
+    members = np.arange(0, 10_000)
+    f = BloomFilter.build(members, fpp=0.01)
+    assert f.might_contain(members).all()
+    probe = np.arange(50_000, 150_000)
+    fpp = f.might_contain(probe).mean()
+    assert fpp < 0.03
+
+
+def test_bloom_merge_is_union():
+    import numpy as np
+
+    from hamerkop_ray.functions.bloom import BloomFilter, optimal_params
+
+    m, k = optimal_params(2000, 0.01)
+    a = BloomFilter(m, k).add(np.arange(0, 1000))
+    b = BloomFilter(m, k).add(np.arange(1000, 2000))
+    both = BloomFilter(m, k).add(np.arange(0, 2000))
+    assert np.array_equal(a.merge(b).bits, both.bits)
