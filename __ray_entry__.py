@@ -641,6 +641,13 @@ def _doc_decontaminate_sql() -> str:
     return decontaminate_sql("documents", "doc_id", "text", 3, pred)
 
 
+def _doc_mixture_sample(sf_dir: str):
+    from hamerkop_ray.pipelines.sampling import mixture_sample
+
+    return mixture_sample(_docs(sf_dir, ["doc_id", "lang"]), total=100,
+                          group_col="lang", key_col="doc_id")
+
+
 def _doc_sample_10pct(sf_dir: str):
     from hamerkop_ray.pipelines.sampling import hash_sample
 
@@ -684,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling (deterministic, hash-keyed)
         "doc_sample_10pct": _doc_sample_10pct,
         "doc_sample_stratified": _doc_sample_stratified,
+        "doc_mixture_sample": _doc_mixture_sample,
         # text analysis
         "top_tokens": _top_tokens,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -788,6 +796,10 @@ def oracle_sql() -> dict[str, str]:
             "hamerkop_ray.pipelines.sampling",
             fromlist=["stratified_sample_sql"]
         ).stratified_sample_sql("documents", "lang", "doc_id", 20),
+        "doc_mixture_sample": __import__(
+            "hamerkop_ray.pipelines.sampling",
+            fromlist=["mixture_sample_sql"]
+        ).mixture_sample_sql("documents", "lang", "doc_id", 100),
         "part_brand_stats": rel.PART_BRAND_SQL,
         "supplier_balance_by_nation": rel.SUPPLIER_BAL_SQL,
         "lineitem_filter_agg": rel.LINEITEM_FILTER_SQL,

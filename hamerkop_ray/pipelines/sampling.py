@@ -119,6 +119,104 @@ def stratified_sample(ds, n_per_group: int, group_col: str, key_col: str):
     return rd.from_arrow(out)
 
 
+def mixture_sample(ds, total: int, group_col: str, key_col: str):
+    """→ Dataset (group_col, key_col): a temperature-balanced training
+    mixture — per-group quotas n_g = total * isqrt(count_g) // Σ isqrt
+    (the classic sqrt/temperature reweighting that upsamples small
+    languages relative to proportional sampling), filled deterministically
+    with each group's n_g smallest (md5(key), key) rows.
+
+    All quota arithmetic is INTEGER (isqrt + floor-div), so a SQL oracle
+    reproduces the exact row set with no float-sum order sensitivity.
+
+    Scale shape: pass 1 is a group-cardinality groupby (tiny: one row per
+    group); pass 2 reuses the stratified per-batch partial top-n + one
+    n×G-bounded merge — the corpus never shuffles."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[group_col]: r["count()"]
+        for b in ds.groupby(group_col).aggregate(Count())
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    weights = {g: math.isqrt(int(c)) for g, c in counts.items()}
+    s = sum(weights.values())
+    if s == 0:
+        return rd.from_items([])
+    quota = {g: (total * w) // s for g, w in weights.items()}
+    n_max = max(quota.values())
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = np.asarray(t[group_col].to_pylist(), dtype=object)
+        keys = t[key_col].to_pylist()
+        pref = _md5_prefixes(keys)
+        keys_arr = np.asarray(keys, dtype=object)
+        order = np.lexsort((keys_arr, pref, groups))
+        g_sorted = groups[order]
+        new_grp = np.concatenate(([True], g_sorted[1:] != g_sorted[:-1]))
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(len(order)) - starts[grp_id]
+        # keep the max quota per group in the partial (superset of every
+        # group's global top-n_g)
+        keep = order[rank < n_max]
+        return pa.table(
+            {group_col: pa.array(groups[keep].tolist()),
+             key_col: t[key_col].take(pa.array(keep, pa.int64())),
+             "_h": pa.array(pref[keep].tolist(), pa.string())}
+        )
+
+    cand = pa.concat_tables(
+        b for b in ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if cand.num_rows == 0:
+        return rd.from_arrow(cand.drop_columns(["_h"]))
+    groups = np.asarray(cand[group_col].to_pylist(), dtype=object)
+    keys_arr = np.asarray(cand[key_col].to_pylist(), dtype=object)
+    pref = np.asarray(cand["_h"].to_pylist(), dtype=object)
+    order = np.lexsort((keys_arr, pref, groups))
+    g_sorted = groups[order]
+    new_grp = np.concatenate(([True], g_sorted[1:] != g_sorted[:-1]))
+    grp_id = np.cumsum(new_grp) - 1
+    starts = np.flatnonzero(new_grp)
+    rank = np.arange(len(order)) - starts[grp_id]
+    quotas = np.asarray([quota.get(g, 0) for g in g_sorted])
+    keep = order[rank < quotas]
+    out = cand.take(pa.array(np.sort(keep), pa.int64())).drop_columns(["_h"])
+    return rd.from_arrow(out)
+
+
+def mixture_sample_sql(table: str, group_col: str, key_col: str,
+                       total: int) -> str:
+    return f"""
+WITH cnt AS (
+    SELECT {group_col}, COUNT(*) AS c FROM {table} GROUP BY {group_col}
+), w AS (
+    SELECT {group_col}, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM cnt
+), tgt AS (
+    SELECT {group_col},
+           ({total} * w) // (SELECT SUM(w) FROM w) AS n_g
+    FROM w
+), ranked AS (
+    SELECT {group_col}, {key_col},
+           ROW_NUMBER() OVER (
+               PARTITION BY {group_col}
+               ORDER BY substr(md5(CAST({key_col} AS VARCHAR)), 1,
+                               {_HEX_DIGITS}), {key_col}
+           ) AS rn
+    FROM {table}
+)
+SELECT r.{group_col}, r.{key_col}
+FROM ranked r JOIN tgt USING ({group_col})
+WHERE r.rn <= tgt.n_g
+"""
+
+
 def stratified_sample_sql(table: str, group_col: str, key_col: str,
                           n_per_group: int) -> str:
     return f"""

@@ -95,3 +95,38 @@ def test_stratified_sample_small_group_kept_whole():
     xx = [i for lang, i in rows if lang == "xx"]
     assert sorted(xx) == [0, 1, 2]  # group smaller than n → kept whole
     assert len([1 for lang, _ in rows if lang == "en"]) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_sample_quotas_and_determinism():
+    import math
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sampling import mixture_sample
+
+    # groups of size 100, 400: isqrt weights 10, 20 -> quotas of total=30
+    # are 10 and 20
+    items = [{"g": "small", "k": i} for i in range(100)] + [
+        {"g": "big", "k": 1000 + i} for i in range(400)
+    ]
+    out1 = sorted(
+        (r["g"], r["k"])
+        for b in mixture_sample(
+            rd.from_items(items).repartition(5), 30, "g", "k"
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    from collections import Counter
+
+    by_g = Counter(g for g, _ in out1)
+    assert by_g == {"small": 10, "big": 20}
+    # partition-independent
+    out2 = sorted(
+        (r["g"], r["k"])
+        for b in mixture_sample(
+            rd.from_items(items).repartition(11), 30, "g", "k"
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    assert out1 == out2
