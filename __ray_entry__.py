@@ -568,6 +568,15 @@ SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
 """
 
 
+def _top_tokens_cms(sf_dir: str):
+    """One-pass fixed-memory heavy hitters via Count-Min + per-batch
+    candidates.  No SQL oracle (approximate by design); accuracy vs the
+    exact operator is unit-tested on skewed data."""
+    from hamerkop_ray.pipelines.sketches import top_tokens_cms
+
+    return top_tokens_cms(_docs(sf_dir, columns=["text"]), k=25)
+
+
 def _events_distinct_ids_hll(sf_dir: str):
     """Approximate distinct event ids via the HLL sketch (p=14, ~0.8%
     error) — one scan, 16 KiB partials, raw column never shuffles.  No
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _doc_packing,
         # sketches (approximate by design — no SQL oracle, unit-tested)
         "events_distinct_ids_hll": _events_distinct_ids_hll,
+        "top_tokens_cms": _top_tokens_cms,
         "events_distinct_users_by_type_hll":
             _events_distinct_users_by_type_hll,
         # dedup

@@ -45,6 +45,67 @@ def hll_distinct(ds, col: str, p: int = 14) -> int:
     return hll.estimate(reg)
 
 
+def top_tokens_cms(docs, k: int = 25, depth: int = 4, width: int = 16384):
+    """→ (tok, n_est): approximate corpus heavy hitters in ONE pass and
+    FIXED memory — the scale alternative to text.top_tokens when even the
+    vocabulary-bounded (tok, n) groupby is too wide (e.g. raw web
+    shingles).  Per batch: a Count-Min partial (depth×width counters)
+    plus that batch's exact top-k as heavy-hitter CANDIDATES; driver
+    merges sketches by sum, unions candidates, and reports each
+    candidate's CMS estimate.
+
+    Approximate by design (a global heavy hitter spread thinly across
+    batches can miss the candidate union; CMS estimates are biased up) —
+    accuracy is unit-tested against the exact operator on skewed data.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.cms import CountMinSketch
+    from .text import _flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = CountMinSketch(depth, width)
+        cand: list[str] = []
+        if t.num_rows:
+            _, toks = _flat_tokens(t["text"])
+            g = pa.table({"tok": toks}).group_by("tok").aggregate(
+                [([], "count_all")])
+            vals = g["tok"].to_numpy(zero_copy_only=False)
+            cnts = g["count_all"].to_numpy()
+            sk.add(vals, cnts)
+            if len(vals) > k:
+                idx = pc.select_k_unstable(
+                    g, k=k, sort_keys=[("count_all", "descending"),
+                                       ("tok", "ascending")])
+                cand = g.take(idx)["tok"].to_pylist()
+            else:
+                cand = list(vals)
+        return pa.table(
+            {"counts": pa.array([sk.counts.tobytes()], pa.binary()),
+             "cand": pa.array([cand], pa.list_(pa.string()))}
+        )
+
+    merged = CountMinSketch(depth, width)
+    cands: set[str] = set()
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw, cl in zip(b["counts"].to_pylist(), b["cand"].to_pylist()):
+            part = CountMinSketch(depth, width)
+            part.counts = np.frombuffer(raw, np.uint64).reshape(depth, width)
+            merged.merge(part)
+            cands.update(cl)
+    cand_arr = np.asarray(sorted(cands), dtype=object)
+    est = merged.estimate(cand_arr) if len(cand_arr) else np.zeros(0, np.int64)
+    order = np.lexsort((cand_arr, -est))[:k]
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"tok": pa.array(cand_arr[order].tolist(), pa.string()),
+                  "n_est": pa.array(est[order], pa.int64())})
+    )
+
+
 def HllDistinct(col: str, p: int = 14, alias_name: str | None = None):
     """Ray AggregateFn: per-group HLL distinct count of `col`."""
     from ray.data.aggregate import AggregateFn

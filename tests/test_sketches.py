@@ -95,3 +95,58 @@ def test_bloom_merge_is_union():
     b = BloomFilter(m, k).add(np.arange(1000, 2000))
     both = BloomFilter(m, k).add(np.arange(0, 2000))
     assert np.array_equal(a.merge(b).bits, both.bits)
+
+
+def test_cms_never_undercounts_and_is_tight_on_skew():
+    import numpy as np
+
+    from hamerkop_ray.functions.cms import CountMinSketch
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: token i appears ~ 10000/i times
+    toks = np.repeat(
+        np.array([f"t{i}" for i in range(1, 200)], dtype=object),
+        (10000 / np.arange(1, 200)).astype(int),
+    )
+    rng.shuffle(toks)
+    sk = CountMinSketch().add(toks)
+    uniq, exact = np.unique(toks, return_counts=True)
+    est = sk.estimate(uniq)
+    assert (est >= exact).all()          # CMS never undercounts
+    # heavy hitters essentially exact at this load factor
+    heavy = exact >= 1000
+    assert (est[heavy] == exact[heavy]).all()
+
+
+def test_cms_merge_is_sum():
+    import numpy as np
+
+    from hamerkop_ray.functions.cms import CountMinSketch
+
+    a = CountMinSketch().add(np.array(["x", "y", "x"], dtype=object))
+    b = CountMinSketch().add(np.array(["x", "z"], dtype=object))
+    m = a.merge(b)
+    assert m.estimate(np.array(["x"], dtype=object))[0] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_tokens_cms_matches_exact_on_skewed_corpus():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import top_tokens_cms
+
+    # heavy tokens dominate every batch, so candidates are found and
+    # CMS estimates are exact at this tiny load factor
+    docs = rd.from_items(
+        [{"text": ("alpha " * 50) + ("beta " * 20) + f"rare{i} x"}
+         for i in range(200)]
+    ).repartition(4)
+    rows = [
+        r
+        for b in top_tokens_cms(docs, k=3).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    got = {r["tok"]: r["n_est"] for r in rows}
+    assert got["alpha"] == 200 * 50
+    assert got["beta"] == 200 * 20
+    assert got["x"] == 200
