@@ -136,6 +136,9 @@ def run_bench() -> dict:
         "doc_chunks",
         "doc_packing",
         "events_distinct_ids_hll",
+        "top_tokens_cms",
+        "doc_mixture_sample",
+        "customers_without_orders_bloom",
     ]:
         timed(name, qs[name])
 
