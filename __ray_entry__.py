@@ -444,6 +444,45 @@ def _events_asof_orders(sf_dir: str):
     )
 
 
+_RANGE_JOIN_WINDOW_US = 10 * 60_000_000  # 10 minutes
+
+
+def _events_range_follow(sf_dir: str):
+    """Range join (self): for each event, the same user's events in the
+    strictly-following 10 minutes — the 'what happened next' window."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["event_b", "ts_b", "user_id"])
+
+    ev_b = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).map_batches(rename, batch_format="pyarrow")
+    return range_join(
+        ev, ev_b,
+        key="user_id", right_key="user_id",
+        left_on="ts", right_on="ts_b",
+        left_id="event_id", right_id="event_b",
+        lo_us=1, hi_us=_RANGE_JOIN_WINDOW_US,
+    )
+
+
+EVENTS_RANGE_FOLLOW_SQL = f"""
+SELECT a.user_id, a.event_id, epoch_us(a.ts) AS ts_us,
+       b.event_id AS event_b, epoch_us(b.ts) AS ts_b_us
+FROM events a
+JOIN events b ON b.user_id = a.user_id
+ AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) + 1
+                        AND epoch_us(a.ts) + {_RANGE_JOIN_WINDOW_US}
+"""
+
+
 def _events_window_running(sf_dir: str):
     import ray.data as rd
 
@@ -683,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_sliding_windows": _events_sliding_windows,
         "events_asof_orders": _events_asof_orders,
+        "events_range_follow": _events_range_follow,
         "events_window_running": _events_window_running,
         "order_price_quantiles": _order_price_quantiles,
         "order_price_quantiles_by_priority": _order_price_quantiles_by_priority,
@@ -771,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": __import__(
             "hamerkop_ray.pipelines.temporal", fromlist=["EVENTS_ASOF_ORDERS_SQL"]
         ).EVENTS_ASOF_ORDERS_SQL,
+        "events_range_follow": EVENTS_RANGE_FOLLOW_SQL,
         "events_window_running": __import__(
             "hamerkop_ray.pipelines.temporal", fromlist=["WINDOW_LAG_RUNNING_SQL"]
         ).WINDOW_LAG_RUNNING_SQL,

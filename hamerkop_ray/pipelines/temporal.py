@@ -164,6 +164,96 @@ WHERE rn = 1
 """
 
 
+def range_join(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    lo_us: int,
+    hi_us: int,
+):
+    """Equi-key + time-range join (the brief's 'range join' custom
+    operator): every (left, right) pair with the same key and
+    right_on ∈ [left_on + lo_us, left_on + hi_us] (inclusive both ends,
+    microsecond epochs — matching SQL BETWEEN).
+
+    → (key, left_id, `left_on`_us, right_id, `right_on`_us).
+
+    Scale shape: same ONE narrow co-partitioning shuffle as asof_join
+    (null-padded union of both sides, int8 side tag); the per-group
+    kernel is two numpy searchsorteds over the time-sorted right side
+    plus a vectorized interval expansion (repeat + offset arithmetic) —
+    output-linear work, never quadratic in the group.  Window width
+    bounds the fan-out; hot keys pre-split by time range with boundary
+    carry as for asof_join."""
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"k": pc.cast(t[key], pa.int64()),
+             "t": _ts_us(t[left_on]),
+             "rid": pa.nulls(n, pa.int64()),
+             "side": pa.array(np.ones(n, dtype=np.int8)),
+             "lid": pc.cast(t[left_id], pa.int64())}
+        )
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {"k": pc.cast(t[right_key], pa.int64()),
+             "t": _ts_us(t[right_on]),
+             "rid": pc.cast(t[right_id], pa.int64()),
+             "side": pa.array(np.zeros(n, dtype=np.int8)),
+             "lid": pa.nulls(n, pa.int64())}
+        )
+
+    both = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow"))
+
+    _EMPTY = pd.DataFrame(
+        {key: pd.Series([], dtype="int64"),
+         left_id: pd.Series([], dtype="int64"),
+         f"{left_on}_us": pd.Series([], dtype="int64"),
+         right_id: pd.Series([], dtype="int64"),
+         f"{right_on}_us": pd.Series([], dtype="int64")}
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        is_left = g["side"].to_numpy() == 1
+        lg = g[is_left]
+        rg = g[~is_left]
+        if len(lg) == 0 or len(rg) == 0:
+            return _EMPTY
+        rg = rg.sort_values(["t", "rid"], kind="mergesort")
+        rt = rg["t"].to_numpy(dtype=np.int64)
+        lt = lg["t"].to_numpy(dtype=np.int64)
+        lo_idx = np.searchsorted(rt, lt + lo_us, side="left")
+        hi_idx = np.searchsorted(rt, lt + hi_us, side="right")
+        cnt = hi_idx - lo_idx
+        keep = np.flatnonzero(cnt > 0)
+        if len(keep) == 0:
+            return _EMPTY
+        kc = cnt[keep]
+        l_rep = np.repeat(keep, kc)
+        ends = np.cumsum(kc)
+        pos = np.arange(ends[-1]) - np.repeat(ends - kc, kc)
+        r_idx = np.repeat(lo_idx[keep], kc) + pos
+        return pd.DataFrame(
+            {key: lg["k"].to_numpy(dtype=np.int64)[l_rep],
+             left_id: lg["lid"].to_numpy(dtype=np.int64)[l_rep],
+             f"{left_on}_us": lt[l_rep],
+             right_id: rg["rid"].to_numpy(dtype=np.int64)[r_idx],
+             f"{right_on}_us": rt[r_idx]}
+        )
+
+    return both.groupby("k").map_groups(per_key, batch_format="pandas")
+
+
 def window_lag_running(events):
     """Per-key window functions over the events log: for each user ordered by
     (ts, event_id) — seq = row_number, prev_value = lag(value) with 0.0 for

@@ -389,3 +389,41 @@ def test_doc_packing_hand_computed():
     assert (rows[2]["start_offset"], rows[2]["bin_id"]) == (3, 0)
     assert (rows[3]["start_offset"], rows[3]["bin_id"]) == (5, 1)
     assert (rows[4]["start_offset"], rows[4]["bin_id"]) == (0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_brute_force_random():
+    import numpy as np
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    left = [
+        {"k": int(rng.integers(0, 5)), "t": int(rng.integers(0, 1000)),
+         "lid": i}
+        for i in range(120)
+    ]
+    right = [
+        {"k": int(rng.integers(0, 5)), "t": int(rng.integers(0, 1000)),
+         "rid": 1000 + i}
+        for i in range(80)
+    ]
+    lo, hi = -50, 30
+    got = sorted(
+        (r["lid"], r["rid"])
+        for b in range_join(
+            rd.from_items(left).repartition(3),
+            rd.from_items(right).repartition(2),
+            key="k", right_key="k", left_on="t", right_on="t",
+            left_id="lid", right_id="rid", lo_us=lo, hi_us=hi,
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    want = sorted(
+        (l["lid"], r["rid"])
+        for l in left
+        for r in right
+        if l["k"] == r["k"] and l["t"] + lo <= r["t"] <= l["t"] + hi
+    )
+    assert got == want
