@@ -607,6 +607,20 @@ SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
 """
 
 
+def _embedding_kmeans(sf_dir: str):
+    """Distributed spherical k-means assignments over the embeddings
+    table.  No SQL oracle (iterative float algorithm); differential-
+    tested against the single-process reference on identical input."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.ann import kmeans_distributed
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    out, _ = kmeans_distributed(embs, n_clusters=8, iters=5)
+    return out
+
+
 def _top_tokens_cms(sf_dir: str):
     """One-pass fixed-memory heavy hitters via Count-Min + per-batch
     candidates.  No SQL oracle (approximate by design); accuracy vs the
@@ -772,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_bruteforce": _ann_topk,
         "ann_topk_ivf": _ann_ivf,  # no SQL oracle (approximate)
+        "embedding_kmeans": _embedding_kmeans,  # no SQL oracle (iterative)
         "embedding_norms": _emb_norms,
         "embedding_centroid_stats": _emb_centroid_stats,
         # entity resolution (non-SQL-expressible: multi-stage record linkage)

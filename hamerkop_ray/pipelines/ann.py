@@ -107,6 +107,114 @@ def kmeans_lite(vectors: np.ndarray, n_clusters: int, iters: int = 10) -> np.nda
     return centroids
 
 
+def kmeans_distributed(
+    embeddings,
+    n_clusters: int = 8,
+    iters: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+):
+    """Distributed spherical Lloyd's k-means — the iterative-algorithm
+    pattern on Ray Data: each iteration is ONE streaming pass where every
+    batch assigns rows to the broadcast centroids and emits a (k×d sum,
+    k count) partial; the driver reduces k×d floats (centroid-sized, not
+    corpus-sized), renormalizes, and re-broadcasts.  The vectors
+    themselves never shuffle and never collect.
+
+    Init is deterministic: the n_clusters vectors with the smallest ids,
+    found with a per-batch top-k combiner (no global sort).  Returns
+    (assignments Dataset (id_col, cluster), centroids ndarray).  Same
+    cosine/argmax semantics as kmeans_lite (the IVF coarse quantizer) —
+    differential-tested against it on identical input."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    # ---- deterministic init: k smallest ids, combiner-style
+    def id_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows > n_clusters:
+            idx = pc.select_k_unstable(
+                t, k=n_clusters, sort_keys=[(id_col, "ascending")])
+            t = t.take(idx)
+        return t
+
+    cand = pa.concat_tables(
+        b for b in embeddings.map_batches(
+            id_partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    cand = cand.sort_by(id_col).slice(0, n_clusters)
+    centroids = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cand[vec_col].to_pylist()]
+    ))
+
+    def make_partial(cents_ref):
+        class Partial:
+            def __init__(self):
+                self.cents = ray.get(cents_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                k, d = self.cents.shape
+                sums = np.zeros((k, d), np.float64)
+                counts = np.zeros(k, np.int64)
+                if t.num_rows:
+                    vecs = _normalize(np.stack(
+                        [np.asarray(v, dtype=np.float64)
+                         for v in t[vec_col].to_pylist()]))
+                    assign = np.argmax(vecs @ self.cents.T, axis=1)
+                    np.add.at(sums, assign, vecs)
+                    counts = np.bincount(assign, minlength=k).astype(np.int64)
+                return pa.table(
+                    {"sums": pa.array([sums.tobytes()], pa.binary()),
+                     "counts": pa.array([counts.tobytes()], pa.binary())}
+                )
+
+        return Partial
+
+    k, d = centroids.shape
+    for _ in range(iters):
+        cents_ref = ray.put(centroids)
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        for b in embeddings.map_batches(
+            make_partial(cents_ref), batch_format="pyarrow",
+            concurrency=concurrency, num_cpus=1,
+        ).iter_batches(batch_format="pyarrow"):
+            for sraw, craw in zip(b["sums"].to_pylist(),
+                                  b["counts"].to_pylist()):
+                sums += np.frombuffer(sraw, np.float64).reshape(k, d)
+                counts += np.frombuffer(craw, np.int64)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = _normalize(centroids)
+
+    cents_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64())})
+            vecs = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in t[vec_col].to_pylist()]))
+            assign = np.argmax(vecs @ self.cents.T, axis=1)
+            return pa.table(
+                {id_col: pc.cast(t[id_col], pa.int64()),
+                 "cluster": pa.array(assign, pa.int64())}
+            )
+
+    out = embeddings.map_batches(
+        Assign, batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    return out, centroids
+
+
 def ivf_topk(
     embeddings,
     query_ids: list[int],

@@ -156,3 +156,42 @@ def test_ann_ivf_high_recall():
         a = set(approx[approx.query_id == qid].vec_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_distributed_matches_reference_on_separated_clusters():
+    import numpy as np
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.ann import kmeans_distributed, kmeans_lite, _normalize
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.1, size=(40, 4)) for c in centers]
+    )
+    # interleave clusters so the deterministic first-3-ids init spans all
+    # three true clusters (id % 3 == true cluster)
+    vecs = vecs.reshape(3, 40, 4).transpose(1, 0, 2).reshape(120, 4)
+    ids = np.arange(len(vecs))
+    items = [
+        {"vec_id": int(i), "embedding": [float(x) for x in v]}
+        for i, v in zip(ids, vecs)
+    ]
+    ds = rd.from_items(items).repartition(5)
+    out, cents = kmeans_distributed(ds, n_clusters=3, iters=4)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for b in out.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    # reference: same init (3 smallest ids = first 3 rows), same
+    # semantics, one process
+    ref_cents = kmeans_lite(vecs, 3, iters=4)
+    ref_assign = np.argmax(_normalize(vecs) @ ref_cents.T, axis=1)
+    for i in ids:
+        assert got[int(i)] == int(ref_assign[i])
+    # the three true clusters are perfectly recovered
+    for block in range(3):
+        members = {got[int(i)] for i in ids if i % 3 == block}
+        assert len(members) == 1
