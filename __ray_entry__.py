@@ -607,6 +607,16 @@ SELECT c_custkey, text_redacted, n_emails, n_ips, n_phones FROM s3
 """
 
 
+def _events_user_skew(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import key_skew_report
+
+    return key_skew_report(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id")
+
+
 def _embedding_kmeans(sf_dir: str):
     """Distributed spherical k-means assignments over the embeddings
     table.  No SQL oracle (iterative float algorithm); differential-
@@ -771,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches (approximate by design — no SQL oracle, unit-tested)
         "events_distinct_ids_hll": _events_distinct_ids_hll,
         "top_tokens_cms": _top_tokens_cms,
+        "events_user_skew": _events_user_skew,
         "events_distinct_users_by_type_hll":
             _events_distinct_users_by_type_hll,
         # dedup
@@ -854,6 +865,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": __import__(
             "hamerkop_ray.pipelines.packing", fromlist=["doc_packing_sql"]
         ).doc_packing_sql(1024),
+        "events_user_skew": __import__(
+            "hamerkop_ray.pipelines.sketches", fromlist=["key_skew_report_sql"]
+        ).key_skew_report_sql("events", "user_id"),
         "doc_sample_10pct": __import__(
             "hamerkop_ray.pipelines.sampling", fromlist=["hash_sample_sql"]
         ).hash_sample_sql("documents", "doc_id", 0.1,

@@ -139,6 +139,9 @@ def run_bench() -> dict:
         "top_tokens_cms",
         "doc_mixture_sample",
         "customers_without_orders_bloom",
+        "events_range_follow",
+        "embedding_kmeans",
+        "events_user_skew",
     ]:
         timed(name, qs[name])
 

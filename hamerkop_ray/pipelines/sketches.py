@@ -106,6 +106,78 @@ def top_tokens_cms(docs, k: int = 25, depth: int = 4, width: int = 16384):
     )
 
 
+def key_skew_report(ds, col: str):
+    """→ one row (n_rows, n_keys, max_key_frac, top10_frac, entropy_bits):
+    the pre-shuffle skew diagnostic — run it on a key column BEFORE
+    keying a groupby/join on it at scale; a high max_key_frac means the
+    biggest reducer task gets that fraction of the table (salt it).
+
+    Scale shape: per-batch (key, n) partials → ONE key-cardinality-
+    bounded groupby → single-row summary.  Entropy/fractions rounded to
+    6 decimals; entropy term order is fixed by summing over keys in
+    ascending key order so the float result is engine-reproducible."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = (pa.table({"k": pc.cast(t[col], pa.string())})
+             .group_by("k").aggregate([([], "count_all")]))
+        return pa.table({"k": g["k"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+    )
+    tbl = pa.concat_tables(
+        b for b in counts.iter_batches(batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        n = np.zeros(0, np.int64)
+    else:
+        tbl = tbl.sort_by("k")
+        n = tbl["n"].to_numpy().astype(np.float64)
+    total = n.sum()
+    if total == 0:
+        row = {"n_rows": 0, "n_keys": 0, "max_key_frac": 0.0,
+               "top10_frac": 0.0, "entropy_bits": 0.0}
+    else:
+        frac = n / total
+        top10 = np.sort(n)[::-1][:10].sum() / total
+        ent = float(-(frac * np.log2(frac)).sum())
+        row = {"n_rows": int(total), "n_keys": int(len(n)),
+               "max_key_frac": round(float(frac.max()), 6),
+               "top10_frac": round(float(top10), 6),
+               "entropy_bits": round(ent, 6)}
+    return rd.from_arrow(pa.table(
+        {"n_rows": pa.array([row["n_rows"]], pa.int64()),
+         "n_keys": pa.array([row["n_keys"]], pa.int64()),
+         "max_key_frac": pa.array([row["max_key_frac"]], pa.float64()),
+         "top10_frac": pa.array([row["top10_frac"]], pa.float64()),
+         "entropy_bits": pa.array([row["entropy_bits"]], pa.float64())}
+    ))
+
+
+def key_skew_report_sql(table: str, col: str) -> str:
+    return f"""
+WITH c AS (
+    SELECT CAST({col} AS VARCHAR) AS k, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM {table} GROUP BY 1 ORDER BY k
+), t AS (SELECT SUM(n) AS total FROM c)
+SELECT CAST(t.total AS BIGINT) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_keys,
+       ROUND((SELECT MAX(n) FROM c) / t.total, 6) AS max_key_frac,
+       ROUND((SELECT SUM(n) FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10))
+             / t.total, 6) AS top10_frac,
+       ROUND((SELECT -SUM((n / t.total) * LOG2(n / t.total)) FROM c), 6)
+           AS entropy_bits
+FROM t
+"""
+
+
 def HllDistinct(col: str, p: int = 14, alias_name: str | None = None):
     """Ray AggregateFn: per-group HLL distinct count of `col`."""
     from ray.data.aggregate import AggregateFn

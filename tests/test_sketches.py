@@ -150,3 +150,27 @@ def test_top_tokens_cms_matches_exact_on_skewed_corpus():
     assert got["alpha"] == 200 * 50
     assert got["beta"] == 200 * 20
     assert got["x"] == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_skew_report_hand_computed():
+    import math
+
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.sketches import key_skew_report
+
+    # 8 'a', 2 'b' -> max frac 0.8, entropy = -(0.8 lg 0.8 + 0.2 lg 0.2)
+    items = [{"k": "a"}] * 8 + [{"k": "b"}] * 2
+    rows = [
+        r
+        for b in key_skew_report(rd.from_items(items).repartition(3), "k")
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    (r,) = rows
+    assert (r["n_rows"], r["n_keys"]) == (10, 2)
+    assert r["max_key_frac"] == 0.8
+    assert r["top10_frac"] == 1.0
+    want = -(0.8 * math.log2(0.8) + 0.2 * math.log2(0.2))
+    assert abs(r["entropy_bits"] - want) < 1e-6
