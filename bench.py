@@ -53,6 +53,7 @@ def _hw_probe() -> dict:
         x += i * i
     alu = time.time() - t0
     a = np.ones(32_000_000, dtype=np.float64)  # 256 MB
+    a * 1.0000001  # untimed warmup: first-touch faults + frequency ramp
     t0 = time.time()
     for _ in range(2):
         a * 1.0000001

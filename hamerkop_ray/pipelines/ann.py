@@ -150,28 +150,26 @@ def kmeans_distributed(
         [np.asarray(v, dtype=np.float64) for v in cand[vec_col].to_pylist()]
     ))
 
-    def make_partial(cents_ref):
-        class Partial:
-            def __init__(self):
-                self.cents = ray.get(cents_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                k, d = self.cents.shape
-                sums = np.zeros((k, d), np.float64)
-                counts = np.zeros(k, np.int64)
-                if t.num_rows:
-                    vecs = _normalize(np.stack(
-                        [np.asarray(v, dtype=np.float64)
-                         for v in t[vec_col].to_pylist()]))
-                    assign = np.argmax(vecs @ self.cents.T, axis=1)
-                    np.add.at(sums, assign, vecs)
-                    counts = np.bincount(assign, minlength=k).astype(np.int64)
-                return pa.table(
-                    {"sums": pa.array([sums.tobytes()], pa.binary()),
-                     "counts": pa.array([counts.tobytes()], pa.binary())}
-                )
-
-        return Partial
+    # per-iteration pass is a STATELESS task fn (not an actor pool): tasks
+    # reuse warm Ray workers across iterations, so there is no per-iteration
+    # actor-spawn ramp; the centroids ObjectRef resolves from the worker's
+    # local object store (zero-copy numpy)
+    def partial_pass(t: pa.Table, *, cents_ref) -> pa.Table:
+        cents = ray.get(cents_ref)
+        k, d = cents.shape
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        if t.num_rows:
+            vecs = _normalize(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in t[vec_col].to_pylist()]))
+            assign = np.argmax(vecs @ cents.T, axis=1)
+            np.add.at(sums, assign, vecs)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {"sums": pa.array([sums.tobytes()], pa.binary()),
+             "counts": pa.array([counts.tobytes()], pa.binary())}
+        )
 
     k, d = centroids.shape
     for _ in range(iters):
@@ -179,8 +177,8 @@ def kmeans_distributed(
         sums = np.zeros((k, d), np.float64)
         counts = np.zeros(k, np.int64)
         for b in embeddings.map_batches(
-            make_partial(cents_ref), batch_format="pyarrow",
-            concurrency=concurrency, num_cpus=1,
+            partial_pass, fn_kwargs=dict(cents_ref=cents_ref),
+            batch_format="pyarrow", num_cpus=1,
         ).iter_batches(batch_format="pyarrow"):
             for sraw, craw in zip(b["sums"].to_pylist(),
                                   b["counts"].to_pylist()):
