@@ -86,6 +86,11 @@ def run_bench() -> dict:
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
+    # probe at START as well as end: this box's bandwidth oscillates on
+    # minute timescales, so a multi-minute run can straddle windows —
+    # divergent start/end probes tell the reader exactly that
+    hw_start = _hw_probe()
+
     # warm the page cache so we measure compute + shuffle, not first disk read
     for t in ["documents", "lineitem", "orders", "customer", "events", "embeddings"]:
         pq.read_table(f"{sf_dir}/{t}.parquet")
@@ -169,6 +174,7 @@ def run_bench() -> dict:
         "docs_per_sec_at_scale": large["docs_per_sec"],
         "n_docs_at_scale": large["n_docs"],
         "hw": _hw_probe(),
+        "hw_start": hw_start,
     }
 
     # regression gate vs the previous recorded bench (tools/bench_gate.py
