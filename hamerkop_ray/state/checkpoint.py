@@ -92,11 +92,17 @@ class CheckpointedRun:
         *,
         config: Any = None,
         input_fingerprint: str = "",
+        partition_cols: list[str] | None = None,
     ):
         """Run (or skip) one stage.  ``build`` returns a ray.data.Dataset;
         its output is written to parquet under run_dir/name/ atomically.
         Returns a Dataset reading the checkpoint (so downstream stages always
         consume the materialized, resumable form).
+
+        ``partition_cols`` hive-partitions the stage output (one directory
+        per key value) — the resumable-output layout for keyed downstream
+        consumption: a re-run skips the whole finished stage via the
+        manifest, and per-key directories let consumers prune at the read.
 
         The stage's output fingerprint (content-derived) chains into
         downstream input_fingerprints for lineage.
@@ -122,9 +128,17 @@ class CheckpointedRun:
             shutil.rmtree(tmp)
         if os.path.exists(sd):
             shutil.rmtree(sd)
-        ds.write_parquet(tmp)
+        if partition_cols:
+            ds.write_parquet(tmp, partition_cols=partition_cols)
+        else:
+            ds.write_parquet(tmp)
         rows = 0
-        files = sorted(os.listdir(tmp))
+        files = []
+        for root, _dirs, fnames in sorted(os.walk(tmp)):
+            rel = os.path.relpath(root, tmp)
+            files.extend(
+                sorted(fname if rel == "." else os.path.join(rel, fname)
+                       for fname in fnames))
         h = hashlib.blake2b(digest_size=8)
         for fname in files:
             fp = os.path.join(tmp, fname)

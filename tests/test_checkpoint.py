@@ -84,3 +84,36 @@ def test_manifest_lineage_fields(world_small, tmp_path):
     assert m1["input_fingerprint"] == "fp0"
     assert m2["input_fingerprint"] == m1["fingerprint"]  # lineage chain
     assert m1["rows"] > 0 and m1["seconds"] >= 0 and m1["files"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stage_partitioned_output_and_skip(tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from hamerkop_ray.state.checkpoint import CheckpointedRun
+
+    run_dir = str(tmp_path / "run")
+    items = [{"lang": "en", "v": 1}, {"lang": "fr", "v": 2},
+             {"lang": "en", "v": 3}]
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return rd.from_items(items)
+
+    cm = CheckpointedRun(run_dir)
+    out = cm.stage("part", build, config={"x": 1},
+                   partition_cols=["lang"])
+    assert sum(b.num_rows for b in out.iter_batches(batch_format="pyarrow")) == 3
+    sd = os.path.join(run_dir, "part")
+    subdirs = {d for d in os.listdir(sd) if os.path.isdir(os.path.join(sd, d))}
+    assert {"lang=en", "lang=fr"} <= subdirs
+    # resume: identical config + input -> stage skipped, same rows
+    cm2 = CheckpointedRun(run_dir)
+    out2 = cm2.stage("part", build, config={"x": 1},
+                     partition_cols=["lang"])
+    assert calls["n"] == 1
+    assert sum(b.num_rows for b in out2.iter_batches(batch_format="pyarrow")) == 3
