@@ -210,3 +210,52 @@ def test_exact_simhash_kernel_matches_bruteforce(texts, params):
                 assert key not in got, f"pair {key} emitted twice"
                 got[key] = rec.hamming
     assert got == expect
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + " \t\n",
+                        max_size=60), min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_flat_tokens_matches_python_split(texts):
+    import pyarrow as pa
+
+    from hamerkop_ray.pipelines.text import _flat_tokens
+
+    parents, toks = _flat_tokens(pa.array(texts, pa.string()))
+    got = {}
+    for p, t in zip(parents.to_pylist(), toks.to_pylist()):
+        got.setdefault(p, []).append(t)
+    for i, s in enumerate(texts):
+        assert got.get(i, []) == s.split()
+
+
+@given(st.lists(st.text(alphabet=string.ascii_letters + " ",
+                        max_size=60), min_size=1, max_size=6),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=30, deadline=None)
+def test_doc_ngrams_counts_and_arity(texts, n):
+    import numpy as np
+    import pyarrow as pa
+
+    from hamerkop_ray.pipelines.decontam import _doc_ngrams
+
+    parents, grams = _doc_ngrams(pa.array(texts, pa.string()), n)
+    counts = np.bincount(parents, minlength=len(texts)) if len(parents) \
+        else np.zeros(len(texts), int)
+    for i, s in enumerate(texts):
+        ntok = len(s.split())
+        assert counts[i] == max(0, ntok - n + 1)
+    for g in grams.to_pylist():
+        assert len(g.split(" ")) == n
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=300))
+@settings(max_examples=20, deadline=None)
+def test_bloom_never_false_negative_property(vals):
+    import numpy as np
+
+    from hamerkop_ray.functions.bloom import BloomFilter
+
+    arr = np.asarray(vals, dtype=np.int64)
+    f = BloomFilter.build(arr, fpp=0.05)
+    assert f.might_contain(arr).all()
