@@ -483,6 +483,16 @@ JOIN events b ON b.user_id = a.user_id
 """
 
 
+def _events_window_rank(sf_dir: str):
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import window_rank_moving
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return window_rank_moving(ev, ma_window=5)
+
+
 def _events_window_running(sf_dir: str):
     import ray.data as rd
 
@@ -747,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_windows": _events_sliding_windows,
         "events_asof_orders": _events_asof_orders,
         "events_range_follow": _events_range_follow,
+        "events_window_rank": _events_window_rank,
         "events_window_running": _events_window_running,
         "order_price_quantiles": _order_price_quantiles,
         "order_price_quantiles_by_priority": _order_price_quantiles_by_priority,
@@ -838,6 +849,10 @@ def oracle_sql() -> dict[str, str]:
             "hamerkop_ray.pipelines.temporal", fromlist=["EVENTS_ASOF_ORDERS_SQL"]
         ).EVENTS_ASOF_ORDERS_SQL,
         "events_range_follow": EVENTS_RANGE_FOLLOW_SQL,
+        "events_window_rank": __import__(
+            "hamerkop_ray.pipelines.temporal",
+            fromlist=["WINDOW_RANK_MOVING_SQL"]
+        ).WINDOW_RANK_MOVING_SQL,
         "events_window_running": __import__(
             "hamerkop_ray.pipelines.temporal", fromlist=["WINDOW_LAG_RUNNING_SQL"]
         ).WINDOW_LAG_RUNNING_SQL,

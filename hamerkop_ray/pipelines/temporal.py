@@ -292,3 +292,60 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def window_rank_moving(events, ma_window: int = 5):
+    """Rank-family window functions + moving average per user, ordered by
+    (ts, event_id): value_rank = RANK() by value descending within the
+    user (ties share a rank, gaps after), ntile4 = NTILE(4) in time order,
+    moving_avg = mean of the last `ma_window` values up to and including
+    the current row (ROWS ma_window-1 PRECEDING), rounded to 4 decimals.
+
+    → (event_id, user_id, value_rank, ntile4, moving_avg).
+
+    Same scale shape as window_lag_running: ONE narrow co-partitioning
+    shuffle, vectorized numpy per group (rank via double argsort on the
+    (-value, ts, event_id) order; moving average via cumsum differences)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        n = len(g)
+        v = g["value"].to_numpy(dtype=np.float64)
+        # RANK() OVER (ORDER BY value DESC): competition ranking with gaps
+        order = np.lexsort((np.arange(n), -v))  # value desc, stable
+        sorted_v = v[order]
+        first_of_run = np.r_[True, sorted_v[1:] != sorted_v[:-1]]
+        run_start_pos = np.maximum.accumulate(
+            np.where(first_of_run, np.arange(n), 0))
+        rank_sorted = run_start_pos + 1
+        rank = np.empty(n, np.int64)
+        rank[order] = rank_sorted
+        # NTILE(4) over time order: first (n % 4) tiles get the extra row
+        q, r = divmod(n, 4)
+        sizes = np.full(4, q, np.int64)
+        sizes[:r] += 1
+        ntile = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)[:n]
+        # moving average over the trailing ma_window rows
+        c = np.concatenate(([0.0], np.cumsum(v)))
+        lo = np.maximum(0, np.arange(1, n + 1) - ma_window)
+        ma = (c[1:] - c[lo]) / (np.arange(1, n + 1) - lo)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "value_rank": rank,
+             "ntile4": ntile,
+             "moving_avg": np.round(ma, 4)}
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+WINDOW_RANK_MOVING_SQL = """
+SELECT event_id, user_id,
+       RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+       NTILE(4) OVER w AS ntile4,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS 4 PRECEDING), 4) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

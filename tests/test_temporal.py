@@ -427,3 +427,31 @@ def test_range_join_brute_force_random():
         if l["k"] == r["k"] and l["t"] + lo <= r["t"] <= l["t"] + hi
     )
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_rank_moving_hand_computed():
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.temporal import window_rank_moving
+
+    ev = rd.from_items(
+        [
+            {"event_id": 1, "ts": 10, "user_id": 7, "value": 5.0},
+            {"event_id": 2, "ts": 20, "user_id": 7, "value": 9.0},
+            {"event_id": 3, "ts": 30, "user_id": 7, "value": 5.0},
+            {"event_id": 4, "ts": 40, "user_id": 7, "value": 1.0},
+        ]
+    ).repartition(2)
+    rows = {
+        r["event_id"]: r
+        for b in window_rank_moving(ev, ma_window=2)
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    # values 5,9,5,1 -> RANK desc: 9->1, 5->2 (both), 1->4
+    assert [rows[i]["value_rank"] for i in (1, 2, 3, 4)] == [2, 1, 2, 4]
+    # NTILE(4) of 4 rows in time order -> 1,2,3,4
+    assert [rows[i]["ntile4"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    # moving avg over last 2: 5, 7, 7, 3
+    assert [rows[i]["moving_avg"] for i in (1, 2, 3, 4)] == [5.0, 7.0, 7.0, 3.0]
