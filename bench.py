@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "doc_mixture_sample",
         "customers_without_orders_bloom",
         "events_range_follow",
+        "events_window_rank",
         "embedding_kmeans",
         "events_user_skew",
     ]:
