@@ -158,7 +158,9 @@ def _doc_quality(sf_dir: str):
 def _doc_langid(sf_dir: str):
     from hamerkop_ray.pipelines.text import lang_id
 
-    return lang_id(_docs(sf_dir, ["doc_id", "text"]), concurrency=2)
+    # elastic (1, N) pool per the stage convention — a FIXED pool can
+    # deadlock at low CPU counts while the upstream read holds a CPU
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]), concurrency=(1, 4))
 
 
 def _doc_fingerprints(sf_dir: str):
@@ -252,10 +254,19 @@ def _ann_ivf(sf_dir: str):
     import numpy as np
 
     ids, vecs = _ann_queries(sf_dir)
-    # centroid training sample: stream ONE 256-row batch, not the full column
+    # centroid training sample: a few rows from EVERY row group (a
+    # first-batch-only sample is biased when the input is sorted/clustered),
+    # still bounded driver state — ≤64 rows per row group
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=256, columns=["embedding"]))
-    sample = np.stack([np.asarray(v) for v in first["embedding"].to_pylist()])
+    chunks = []
+    per_rg = max(1, 256 // max(1, pf.num_row_groups))
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(rg, columns=["embedding"])
+        n = t.num_rows
+        step = max(1, n // per_rg)
+        take = list(range(0, n, step))[:per_rg]
+        chunks.extend(t["embedding"].take(take).to_pylist())
+    sample = np.stack([np.asarray(v) for v in chunks])
     cents = kmeans_lite(sample, n_clusters=8)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ivf_topk(emb, ids, vecs, k=8, centroids=cents, nprobe=3, concurrency=2).to_pandas()
@@ -745,7 +756,23 @@ def _doc_sample_stratified(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """EXACTLY 50 entries — the driver's correctness check records at most
+    50 queries per round (round 3 returned 59 and the last 9 in dict order,
+    including the flagship ER trio, were silently dropped from
+    CORRECTNESS_r03).  Consolidated out (still benched in bench.py and
+    covered by tests): variants sharing a byte-identical oracle with a kept
+    scale-path twin (similar_customer_names → _blocked,
+    customers_without_orders → _bloom, order_price_quantiles →
+    _by_priority) and approximate operators whose exact twin is
+    oracle-pinned (ann_topk_ivf → ann_topk_bruteforce, dedup_simhash_docs →
+    simhash_pairs_exact, ngram_jaccard_pairs → ngram_jaccard_pairs_exact,
+    top_tokens_cms → top_tokens, the two HLL queries →
+    events_user_skew/distinct_event_types); see EXTRA_QUERIES below."""
     return {
+        # flagship entity resolution (non-SQL-expressible record linkage)
+        "er_resolved_mentions": _er_resolved,
+        "er_resolved_full_blocking": _er_resolved_full,
+        "er_chains": _er_chains,
         # relational
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_revenue_orders": rel.q3_top_revenue_orders,
@@ -759,14 +786,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_follow": _events_range_follow,
         "events_window_rank": _events_window_rank,
         "events_window_running": _events_window_running,
-        "order_price_quantiles": _order_price_quantiles,
         "order_price_quantiles_by_priority": _order_price_quantiles_by_priority,
         "part_brand_stats": rel.part_brand_stats,
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "lineitem_filter_agg": rel.lineitem_filter_agg,
         "customer_order_counts": rel.customer_order_counts,
         "distinct_event_types": rel.distinct_event_types,
-        "customers_without_orders": rel.customers_without_orders,
         "customers_without_orders_bloom":
             rel.customers_without_orders_bloom,
         "top3_orders_per_priority": rel.top3_orders_per_priority,
@@ -789,36 +814,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence chunking / packing
         "doc_chunks": _doc_chunks,
         "doc_packing": _doc_packing,
-        # sketches (approximate by design — no SQL oracle, unit-tested)
-        "events_distinct_ids_hll": _events_distinct_ids_hll,
-        "top_tokens_cms": _top_tokens_cms,
+        # sketches / diagnostics
         "events_user_skew": _events_user_skew,
-        "events_distinct_users_by_type_hll":
-            _events_distinct_users_by_type_hll,
         # dedup
         "dedup_exact_docs": _dedup_exact,
         "dedup_minhash_docs": _dedup_minhash,  # no SQL oracle (LSH + components)
-        "dedup_simhash_docs": _dedup_simhash,  # no SQL oracle
         "simhash_pairs_exact": _simhash_pairs_exact,
-        "ngram_jaccard_pairs": _ngram_jaccard,  # no SQL oracle (LSH-bucketed)
         "ngram_jaccard_pairs_exact": _ngram_jaccard_exact,
-        "similar_customer_names": _similar_customer_names,
         "similar_customer_names_blocked": _similar_customer_names_blocked,
         "embedding_neardup_pairs": _emb_neardup,
         # similarity search
         "ann_topk_bruteforce": _ann_topk,
-        "ann_topk_ivf": _ann_ivf,  # no SQL oracle (approximate)
         "embedding_kmeans": _embedding_kmeans,  # no SQL oracle (iterative)
         "embedding_norms": _emb_norms,
         "embedding_centroid_stats": _emb_centroid_stats,
-        # entity resolution (non-SQL-expressible: multi-stage record linkage)
-        "er_resolved_mentions": _er_resolved,
-        "er_resolved_full_blocking": _er_resolved_full,
-        "er_chains": _er_chains,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[str], Any]]:
+    """Operator variants consolidated out of queries() to fit the driver's
+    50-entry correctness window (see queries() docstring) — still first-class
+    library operators, benched by bench.py and covered by tests/."""
+    return {
+        "order_price_quantiles": _order_price_quantiles,
+        "customers_without_orders": rel.customers_without_orders,
+        "similar_customer_names": _similar_customer_names,
+        "events_distinct_ids_hll": _events_distinct_ids_hll,
+        "events_distinct_users_by_type_hll":
+            _events_distinct_users_by_type_hll,
+        "top_tokens_cms": _top_tokens_cms,
+        "dedup_simhash_docs": _dedup_simhash,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "ann_topk_ivf": _ann_ivf,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for queries() keys only (driver contract).  Oracles for the
+    consolidated-out extra_queries() remain in all_oracle_sql() for the
+    local checker (tools/check_queries.py)."""
+    keep = set(queries())
+    return {k: v for k, v in all_oracle_sql().items() if k in keep}
+
+
+def all_oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_revenue_orders": rel.Q3_SQL,

@@ -96,7 +96,9 @@ def run_bench() -> dict:
         pq.read_table(f"{sf_dir}/{t}.parquet")
 
     qtimes: dict[str, float] = {}
-    qs = em.queries()
+    # bench times the FULL operator surface: queries() (driver-checked, 50)
+    # plus the variants consolidated out of the driver's 50-entry window
+    qs = {**em.queries(), **em.extra_queries()}
 
     def timed(name, fn):
         t0 = time.perf_counter()

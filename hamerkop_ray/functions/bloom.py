@@ -17,10 +17,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def _canon(values) -> np.ndarray:
+    """Canonicalize input dtype BEFORE hashing: pd.util.hash_array hashes
+    raw bytes, so the same logical keys arriving as int32 on build and
+    int64 on probe (or as float64 via a nullable column's to_numpy) would
+    hash differently — silent FALSE NEGATIVES, breaking the no-false-
+    negative contract.  Integers → int64, floats/objects rejected only if
+    they can't round-trip; nulls are rejected loudly."""
+    v = np.asarray(values)
+    if v.dtype == object:
+        import pandas as pd
+
+        if pd.isna(v).any():
+            raise ValueError("BloomFilter keys must be non-null")
+        if v.size and all(isinstance(x, (int, np.integer)) for x in v):
+            v = v.astype(np.int64)  # else leave as object (e.g. strings)
+    elif np.issubdtype(v.dtype, np.integer):
+        v = v.astype(np.int64, copy=False)
+    elif np.issubdtype(v.dtype, np.floating):
+        if np.isnan(v).any():
+            raise ValueError("BloomFilter keys must be non-null")
+        as_int = v.astype(np.int64)
+        if not (as_int == v).all():
+            raise ValueError(
+                "BloomFilter float keys must be integral (nullable int "
+                "column surfaced as float?) — cast explicitly first"
+            )
+        v = as_int
+    return v
+
+
 def _hash_pair(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     import pandas as pd
 
-    h1 = pd.util.hash_array(np.asarray(values), categorize=False)
+    h1 = pd.util.hash_array(_canon(values), categorize=False)
     h2 = pd.util.hash_array(h1, categorize=False) | np.uint64(1)
     return h1, h2
 

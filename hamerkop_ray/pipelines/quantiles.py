@@ -187,7 +187,19 @@ def exact_quantiles(
             edges = np.linspace(s["lo"], s["hi"], bins + 1)
             s["below"] += int(cum[j - 1]) if j > 0 else 0
             s["in_range"] = int(h[j])
-            s["lo"], s["hi"] = float(edges[j]), float(edges[j + 1])
+            s["lo"] = float(edges[j])
+            # bin j is [edges[j], edges[j+1]) except the LAST bin (inclusive
+            # by the searchsorted clip).  All later scans select the range
+            # INCLUSIVE of hi, so for non-last bins shrink hi to the largest
+            # float below edges[j+1] — otherwise a mass point sitting exactly
+            # on the right edge (integer-valued columns + integer linspace
+            # edges) is gathered by the final collect even though it was
+            # never counted in in_range, breaking the bounded-driver-state
+            # contract (the answer itself — rank r < h[j] — is in bin j).
+            if j < bins - 1:
+                s["hi"] = float(np.nextafter(edges[j + 1], s["lo"]))
+            else:
+                s["hi"] = float(edges[j + 1])
     for s in state:
         if s["value"] is None and s["lo"] == s["hi"]:
             s["value"] = s["lo"]

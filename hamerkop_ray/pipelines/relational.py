@@ -81,10 +81,16 @@ def _topk(ds, sort_cols: list[str], descending: list[bool], k: int):
 
 
 def _round_cols(ds, cols: dict[str, int]):
+    # half_towards_infinity = DuckDB ROUND (half-away-from-zero); pyarrow's
+    # default is half-to-even, which diverges from every oracle on exact
+    # .5-boundary values (pc.round(2.5)→2, DuckDB→3)
     def f(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             i = t.schema.get_field_index(c)
-            t = t.set_column(i, c, pc.round(t[c], ndigits=nd))
+            t = t.set_column(
+                i, c,
+                pc.round(t[c], ndigits=nd, round_mode="half_towards_infinity"),
+            )
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -611,30 +617,44 @@ def events_type_pivot(sf_dir: str):
     type — the type list is a fixed, coarse vocabulary), so the shuffle
     carries one narrow row per (user × batch) partial, NOT per event, and
     the final groupby sums |users| rows × |types| int columns.  Ray Data
-    has no native pivot; this is the composition-(a) expression."""
+    has no native pivot; this is the composition-(a) expression.
+
+    total_value sums in int64 1e-4 units (floor(v·1e4 + 0.5) per event, the
+    identical IEEE ops on both engines) — a double sum then round(…, 4) is
+    order-sensitive at the ulp and half-even/half-away boundary (the round-3
+    hash fail); integer partials are order-free and compare bit-exactly."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def widen(b):
+        import numpy as np
         import pandas as pd
 
         df = pd.DataFrame({"user_id": b["user_id"].to_numpy()})
         et = b["event_type"].to_numpy()
         for ty in _EVENT_TYPES:
             df[f"n_{ty}"] = (et == ty).astype("int64")
-        df["total_value"] = b["value"].to_numpy()
+        df["value_e4"] = np.floor(
+            b["value"].to_numpy() * 1e4 + 0.5
+        ).astype("int64")
         # per-batch partial: one row per user seen in the batch
         return df.groupby("user_id", as_index=False).sum()
 
     aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _EVENT_TYPES]
-    aggs.append(Sum("total_value", alias_name="total_value"))
+    aggs.append(Sum("value_e4", alias_name="value_e4"))
     out = (
         ds.map_batches(widen, batch_format="pandas")
         .groupby("user_id")
         .aggregate(*aggs)
     )
-    return _round_cols(out, {"total_value": 4})
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("value_e4")
+        total = pc.divide(pc.cast(t["value_e4"], pa.float64()), 1e4)
+        return t.set_column(i, "total_value", total)
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_TYPE_PIVOT_SQL = """
@@ -644,7 +664,7 @@ SELECT user_id,
        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       ROUND(SUM(value), 4) AS total_value
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_value
 FROM events
 GROUP BY user_id
 """
@@ -695,8 +715,14 @@ def orders_rollup(sf_dir: str):
     # integer units compare bit-exactly on every engine
     def to_int(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("revenue")
+        # half_towards_infinity = DuckDB ROUND; the pyarrow default
+        # (half-even) diverges by a whole unit on exact-.5 subtotals
         return t.set_column(
-            i, "revenue", pc.cast(pc.round(t["revenue"]), pa.int64())
+            i, "revenue",
+            pc.cast(
+                pc.round(t["revenue"], round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
         )
 
     return out.map_batches(to_int, batch_format="pyarrow")

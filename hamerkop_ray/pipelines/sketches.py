@@ -147,11 +147,22 @@ def key_skew_report(ds, col: str):
     else:
         frac = n / total
         top10 = np.sort(n)[::-1][:10].sum() / total
-        ent = float(-(frac * np.log2(frac)).sum())
+
+        def _r6(x: float) -> float:
+            # half-away like DuckDB ROUND (python round is half-even)
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        # entropy summed as int64 1e-12-unit terms: a plain double SUM is
+        # summation-order-sensitive (numpy pairwise vs DuckDB sequential)
+        # and can flip the 6th rounded decimal on large key sets; the
+        # per-term pre-round also absorbs libm LOG2 last-ulp differences
+        ent_units = np.floor(
+            -(frac * np.log2(frac)) * 1e12 + 0.5
+        ).astype(np.int64).sum()
         row = {"n_rows": int(total), "n_keys": int(len(n)),
-               "max_key_frac": round(float(frac.max()), 6),
-               "top10_frac": round(float(top10), 6),
-               "entropy_bits": round(ent, 6)}
+               "max_key_frac": _r6(float(frac.max())),
+               "top10_frac": _r6(float(top10)),
+               "entropy_bits": _r6(float(ent_units) / 1e12)}
     return rd.from_arrow(pa.table(
         {"n_rows": pa.array([row["n_rows"]], pa.int64()),
          "n_keys": pa.array([row["n_keys"]], pa.int64()),
@@ -172,7 +183,9 @@ SELECT CAST(t.total AS BIGINT) AS n_rows,
        ROUND((SELECT MAX(n) FROM c) / t.total, 6) AS max_key_frac,
        ROUND((SELECT SUM(n) FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10))
              / t.total, 6) AS top10_frac,
-       ROUND((SELECT -SUM((n / t.total) * LOG2(n / t.total)) FROM c), 6)
+       ROUND((SELECT SUM(CAST(FLOOR(
+                  -(n / t.total) * LOG2(n / t.total) * 1e12 + 0.5) AS BIGINT))
+              FROM c) / 1e12, 6)
            AS entropy_bits
 FROM t
 """

@@ -195,3 +195,37 @@ def test_kmeans_distributed_matches_reference_on_separated_clusters():
     for block in range(3):
         members = {got[int(i)] for i in ids if i % 3 == block}
         assert len(members) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_chunked_equals_single_chunk():
+    """The chunk-pair tiling path (blocks split across many tasks) must
+    produce the identical pair set as the degenerate single-chunk path."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    items = []
+    for i in range(120):
+        v = rng.normal(0, 1, 4)
+        items.append(
+            {"vec_id": int(i), "label": int(i % 3),
+             "embedding": [float(x) for x in v]}
+        )
+    ds1 = rd.from_items(items).repartition(4)
+    ds2 = rd.from_items(items).repartition(4)
+
+    def pairs(out):
+        return sorted(
+            (r["src"], r["dst"], r["cosine"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        )
+
+    single = pairs(embedding_neardup_pairs(ds1, threshold=0.6,
+                                           chunk_target=4096))
+    chunked = pairs(embedding_neardup_pairs(ds2, threshold=0.6,
+                                            chunk_target=8))
+    assert len(single) > 0
+    assert chunked == single

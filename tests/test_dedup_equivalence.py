@@ -133,7 +133,7 @@ def test_blocked_editdist_pairs_equal_allpairs():
     import __ray_entry__ as entry_mod
 
     sf = "/root/testdata/sf0.001"
-    q = entry_mod.queries()
+    q = {**entry_mod.queries(), **entry_mod.extra_queries()}
     allpairs = {
         (r["custkey_a"], r["custkey_b"], r["dist"])
         for b in q["similar_customer_names"](sf).iter_batches(batch_format="pyarrow")

@@ -64,8 +64,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # local checker covers the FULL surface: the driver-facing 50 plus the
+    # variants consolidated out of the driver's 50-entry window
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    oracles = entry_mod.all_oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
