@@ -190,6 +190,10 @@ def run_bench() -> dict:
             # driver-recorded BENCH_r*.json wraps the bench line in "parsed"
             if "queries" not in prev and isinstance(prev.get("parsed"), dict):
                 prev = prev["parsed"]
+            # only compare same-scale runs: an sf0.01 smoke vs the driver's
+            # sf0.1 record produces meaningless ratios
+            if str(prev.get("sf", "")) != str(sf_dir):
+                prev = {}
             prev_q = prev.get("queries", {})
             regressions = {
                 name: {"prev_sec": p, "new_sec": qtimes[name],

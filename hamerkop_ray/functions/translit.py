@@ -423,7 +423,8 @@ _HANZI_PINYIN_EXT = {
     "红": "hong", "紅": "hong", "虹": "hong", "健": "jian", "康": "kang",
     "志": "zhi", "爱": "ai", "愛": "ai", "贤": "xian", "賢": "xian",
     "忠": "zhong", "义": "yi", "義": "yi", "礼": "li", "禮": "li",
-    "信": "xin", "仁": "ren", "厚": "hou",
+    "信": "xin", "仁": "ren", "厚": "hou", "清": "qing", "思": "si",
+    "想": "xiang", "阪": "ban", "坂": "ban",
 }
 _HANZI_PINYIN.update(_HANZI_PINYIN_EXT)
 

@@ -181,3 +181,32 @@ def test_shared_script_discrimination():
 def test_empty_returns_und():
     # reference returns None on no tokens; our contract is 'und'
     assert NgramLangDetector().detect("f", []) == "und"
+
+
+ROUND4_LATIN = {
+    # UDHR article-1-style snippets in the round-4 profile languages
+    "hau": "an haifi dukkan mutane ne cikin walwala kuma daidai suke a "
+           "mutunci da hakkoki suna da hankali da lamiri kuma ya kamata "
+           "su yi wa juna aiki cikin ruhin zumunci",
+    "zul": "bonke abantu bazalwa bekhululekile futhi belingana "
+           "ngesithunzi nangamalungelo banikwe ukucabanga nonembeza "
+           "kufanele baphathane ngomoya wobuzalwane",
+    "kin": "abantu bose bavuka ari abigenge bakaba baringaniye mu "
+           "burenganzira no mu gaciro bafite ubwenge n umutima kandi "
+           "bagomba kubana mu mwuka wa kivandimwe",
+    "mlg": "teraka afaka sy mitovy zo sy fahamendrehana ny olombelona "
+           "rehetra samy manana ny saina sy ny fieritreretana ka tokony "
+           "hifampitondra am pirahalahiana",
+    "ceb": "ang tanan nga tawo gipakatawo nga may kagawasan ug managsama "
+           "sa kabililhon ug katungod sila gigasahan sa pangisip ug "
+           "tanlag ug kinahanglan magbinuligay sa usag usa",
+    "epo": "ĉiuj homoj estas denaske liberaj kaj egalaj laŭ digno kaj "
+           "rajtoj ili posedas racion kaj konsciencon kaj devus konduti "
+           "unu al alia en spirito de frateco",
+}
+
+
+def test_round4_latin_profile_breadth():
+    det = NgramLangDetector()
+    for lang, text in ROUND4_LATIN.items():
+        assert det.detect(f"{lang}.txt", text.split()) == lang, lang
