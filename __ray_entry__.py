@@ -407,6 +407,18 @@ def _er_resolved_full(sf_dir: str):
     ]
 
 
+def _er_resolved_partitioned(sf_dir: str):
+    """Flagship through the PARTITIONED (shuffle-join) scale path — the
+    plan run_flagship auto-selects when the KB exceeds the broadcast
+    threshold (distributed exact blocking + per-chain-group resolution +
+    hash-join cluster labels; no whole-KB driver object).  Forced here on
+    the small synth KB so the path is exercised and timed every round."""
+    from hamerkop_ray.pipelines.flagship import run_flagship
+
+    docs = _span_docs(sf_dir)
+    return run_flagship(docs, _kb(), partitioned=True)["mentions"]
+
+
 def _er_chains(sf_dir: str):
     from hamerkop_ray.stages.chains import Stage1Chains
 
@@ -846,6 +858,7 @@ def extra_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _dedup_simhash,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "ann_topk_ivf": _ann_ivf,
+        "er_resolved_partitioned": _er_resolved_partitioned,
     }
 
 

@@ -151,6 +151,10 @@ def run_bench() -> dict:
         "events_window_rank",
         "embedding_kmeans",
         "events_user_skew",
+        # the partitioned-KB flagship scale path (shuffle-join blocking +
+        # per-chain-group resolution) — timed so its fixed join costs are
+        # on record next to the broadcast path's number
+        "er_resolved_partitioned",
     ]:
         timed(name, qs[name])
 

@@ -498,12 +498,17 @@ def customers_without_orders_bloom(sf_dir: str):
     and broadcast once with ray.put; each customer batch then drops
     bloom-definite non-members IMMEDIATELY (no false negatives, so they
     are provably in the answer), and only the small maybe-set pays the
-    exact anti-join.  The two customer branches re-run the cheap probe —
-    the cost of keeping both streams lazy."""
+    exact anti-join.
+
+    Round-4 fixed-cost cuts (this query cost ~6.5 s at sf0.01 — pure
+    overhead): the filtered build side is severed ONCE (one orders scan
+    feeds both the bloom partials and the join build instead of two), and
+    the probes are stateless TASK fns (ray.get from local plasma per
+    task) instead of two actor pools paying spawn ramp."""
     import ray
 
     from ..functions.bloom import BloomFilter, optimal_params
-    from ..stages.joins import broadcast_semi_join
+    from ..stages.joins import broadcast_semi_join, ds_from_refs, sever_refs
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
@@ -511,7 +516,7 @@ def customers_without_orders_bloom(sf_dir: str):
         return t.filter(
             pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
 
-    urgent_keys = orders.map_batches(urgent, batch_format="pyarrow")
+    urefs, _ = sever_refs(orders.map_batches(urgent, batch_format="pyarrow"))
 
     import pyarrow.parquet as pq
 
@@ -528,35 +533,29 @@ def customers_without_orders_bloom(sf_dir: str):
     bloom = BloomFilter(m, k)
     import numpy as np
 
-    for b in urgent_keys.map_batches(
+    empty_keys = pa.table({"o_custkey": pa.array([], pa.int64())})
+    for b in ds_from_refs(urefs, empty_keys).map_batches(
         bloom_partial, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         for raw in b["bits"].to_pylist():
             bloom.bits |= np.frombuffer(raw, np.uint8)
     bloom_ref = ray.put(bloom)
 
-    def split(want_maybe: bool):
-        class Probe:
-            def __init__(self, bloom_ref):
-                self.bloom = ray.get(bloom_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if t.num_rows == 0:
-                    return t
-                hit = self.bloom.might_contain(t["c_custkey"].to_numpy())
-                return t.filter(pa.array(hit if want_maybe else ~hit))
-
-        return Probe
+    def probe(t: pa.Table, *, want_maybe: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bf = ray.get(bloom_ref)
+        hit = bf.might_contain(t["c_custkey"].to_numpy())
+        return t.filter(pa.array(hit if want_maybe else ~hit))
 
     customers = _read(sf_dir, "customer", ["c_custkey"])
     definite_non = customers.map_batches(
-        split(False), fn_constructor_kwargs=dict(bloom_ref=bloom_ref),
-        batch_format="pyarrow", concurrency=(1, 8))
+        probe, fn_kwargs=dict(want_maybe=False), batch_format="pyarrow")
     maybe = customers.map_batches(
-        split(True), fn_constructor_kwargs=dict(bloom_ref=bloom_ref),
-        batch_format="pyarrow", concurrency=(1, 8))
+        probe, fn_kwargs=dict(want_maybe=True), batch_format="pyarrow")
     verified = broadcast_semi_join(
-        maybe, urgent_keys, "c_custkey", "o_custkey", anti=True,
+        maybe, ds_from_refs(urefs, empty_keys), "c_custkey", "o_custkey",
+        anti=True,
         num_partitions=_npartitions(sf_dir, "customer", "orders"),
     )
     return definite_non.union(verified)
