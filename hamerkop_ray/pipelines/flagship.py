@@ -412,13 +412,30 @@ def resolve_partitioned(
              "payload": pa.array([json.dumps(r) for r in rows], pa.string())}
         )
 
+    # the resolve shuffle groups by HASH PARTITION of the chain key, not one
+    # Ray group per chain (per-chain map_groups paid Ray's per-group
+    # overhead ~30k times at sf0.1 — 167 s in the round-4 bench); each pkey
+    # group resolves thousands of chains with one pandas groupby
+    nparts = max(8, num_partitions * 2)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(t["gkey"].to_pandas(), dtype=object)
+        ) % np.uint64(nparts)
+        return t.append_column("pkey", pa.array(h.astype("int64")))
+
     union = chains_full.map_batches(
         chain_side, batch_format="pyarrow"
-    ).union(pairs.map_batches(cand_side, batch_format="pyarrow"))
+    ).union(pairs.map_batches(cand_side, batch_format="pyarrow")).map_batches(
+        add_pkey, batch_format="pyarrow"
+    )
 
     res = resolvers
 
-    def resolve_group(g):
+    def resolve_part(g):
         # emits flat key columns + one JSON string per resolved chain —
         # schema-stable across groups regardless of nested-mentions
         # inference, and flat enough for downstream acero hash joins (which
@@ -426,19 +443,19 @@ def resolve_partitioned(
         # at the end of the plan
         import pandas as pd
 
-        ents = sorted(
-            (json.loads(p) for p in g.loc[g["kind"] == 1, "payload"]),
-            key=lambda e: e["entity_id"],
-        )
         er = _cached_er(res)
-        er.kb = {e["entity_id"]: e for e in ents}
         out = []
-        for p in g.loc[g["kind"] == 0, "payload"]:
-            row = json.loads(p)
-            row["candidates"] = [
-                {"entity_id": e["entity_id"]} for e in ents
-            ]
-            out.extend(er.resolve_rows([row]))
+        for _gkey, g1 in g.groupby("gkey", sort=False):
+            ents = sorted(
+                (json.loads(p) for p in g1.loc[g1["kind"] == 1, "payload"]),
+                key=lambda e: e["entity_id"],
+            )
+            er.kb = {e["entity_id"]: e for e in ents}
+            cands = [{"entity_id": e["entity_id"]} for e in ents]
+            for p in g1.loc[g1["kind"] == 0, "payload"]:
+                row = json.loads(p)
+                row["candidates"] = cands
+                out.extend(er.resolve_rows([row]))
         return pd.DataFrame(
             {"doc_id": pd.Series([r["doc_id"] for r in out], dtype="object"),
              "chain_id": pd.Series(
@@ -449,8 +466,8 @@ def resolve_partitioned(
                  [json.dumps(r) for r in out], dtype="object")}
         )
 
-    flat = union.groupby("gkey").map_groups(
-        resolve_group, batch_format="pandas"
+    flat = union.groupby("pkey").map_groups(
+        resolve_part, batch_format="pandas"
     )
     if _flat_output:
         return flat

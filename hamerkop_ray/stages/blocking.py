@@ -249,19 +249,37 @@ def partitioned_exact_candidates(
         shards=shards,
     )
 
-    def per_chain(g: pd.DataFrame) -> pd.DataFrame:
-        ids_sorted = sorted(set(g["entity_id"]))[:maximum]
-        return pd.DataFrame(
-            {
-                "doc_id": [g["doc_id"].iloc[0]] * len(ids_sorted),
-                "chain_id": [g["chain_id"].iloc[0]] * len(ids_sorted),
-                "entity_id": ids_sorted,
-            }
-        )
+    # per-chain dedup + cap runs on HASH PARTITIONS of chains, not one Ray
+    # group per chain: groupby((doc,chain)).map_groups creates one pandas
+    # frame + python call per chain (~30k groups at sf0.1 — Ray's per-group
+    # overhead dominated the round-4 bench at 167 s); a bounded number of
+    # pkey groups each handles thousands of chains with C-speed pandas ops
+    nparts = max(8, num_partitions * 2)
 
-    return joined.groupby(["doc_id", "chain_id"]).map_groups(
-        per_chain, batch_format="pandas"
-    )
+    def add_pkey(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        key = pa.compute.binary_join_element_wise(
+            pa.compute.cast(t["doc_id"], pa.string()),
+            pa.compute.cast(t["chain_id"], pa.string()),
+            "\x1f",
+        )
+        h = pd.util.hash_array(
+            np.asarray(key.to_pandas(), dtype=object)) % np.uint64(nparts)
+        return t.append_column("pkey", pa.array(h.astype("int64")))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "chain_id", "entity_id"])
+        g = g.sort_values(["doc_id", "chain_id", "entity_id"],
+                          kind="mergesort")
+        return g.groupby(["doc_id", "chain_id"], sort=False).head(maximum)[
+            ["doc_id", "chain_id", "entity_id"]
+        ]
+
+    return joined.map_batches(add_pkey, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(per_part, batch_format="pandas")
 
 
 class CandidateGeneration:
