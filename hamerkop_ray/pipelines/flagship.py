@@ -358,7 +358,7 @@ def resolve_partitioned(
     kb_refs, _ = sever_refs(kb_ds)
 
     # chains are consumed twice (blocking probe + resolution union)
-    chain_refs, _ = sever_refs(chains)
+    chain_refs, n_chains = sever_refs(chains)
     chains_probe = ds_from_refs(chain_refs, CHAINS.empty_table())
     chains_full = ds_from_refs(chain_refs, CHAINS.empty_table())
 
@@ -371,6 +371,7 @@ def resolve_partitioned(
         hot_threshold=hot_threshold,
         shards=shards,
         maximum=maximum_candidates,
+        probe_rows_hint=n_chains,  # exact: one probe row per chain
     )
 
     def kb_payload(t: pa.Table) -> pa.Table:
@@ -387,6 +388,8 @@ def resolve_partitioned(
         num_partitions=num_partitions,
         hot_threshold=hot_threshold,
         shards=shards,
+        # exact bound: ≤ maximum_candidates rows per chain
+        left_rows_hint=n_chains * maximum_candidates,
     )
 
     def cand_side(t: pa.Table) -> pa.Table:

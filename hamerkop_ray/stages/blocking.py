@@ -204,6 +204,7 @@ def partitioned_exact_candidates(
     hot_threshold: int | None = 1000,
     shards: int = 8,
     maximum: int = 25,
+    probe_rows_hint: int | None = None,
 ):
     """Exact-key blocking as a DISTRIBUTED hash join — the scale path when
     the KB index is too large to broadcast (SURVEY.md §4: index shipped as a
@@ -247,6 +248,7 @@ def partitioned_exact_candidates(
         num_partitions=num_partitions,
         hot_threshold=hot_threshold,
         shards=shards,
+        left_rows_hint=probe_rows_hint,
     )
 
     # per-chain dedup + cap runs on HASH PARTITIONS of chains, not one Ray

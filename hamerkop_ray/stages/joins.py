@@ -240,14 +240,19 @@ def salted_inner_join(
     num_partitions: int,
     hot_threshold: int | None = None,
     shards: int = 8,
+    left_rows_hint: int | None = None,
 ):
     """Inner join with optional hot-key salting.
 
     left = big/probe side (salted), right = smaller build side (replicated).
     Falls back to a plain Dataset.join when hot_threshold is None or no key
-    crosses it.
+    crosses it.  left_rows_hint: known upper bound on left's row count —
+    when ≤ hot_threshold, NO key can be hot, so the hot_keys pre-pass (a
+    full extra scan + groupby) is skipped, exactly.
     """
-    if hot_threshold is not None:
+    if hot_threshold is not None and (
+        left_rows_hint is None or left_rows_hint > hot_threshold
+    ):
         hot = hot_keys(left, key, hot_threshold)
     else:
         hot = set()
