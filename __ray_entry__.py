@@ -76,22 +76,41 @@ def _kb(n_entities: int = 400, seed: int = 42):
 
 def _span_docs(sf_dir: str):
     """Deterministically derive the interleaved span-documents table
-    (doc_id, spans) from the testdata documents table."""
+    (doc_id, spans) from the testdata documents table.
+
+    TASK fn with a per-worker-process stage cache instead of an actor pool:
+    Ray tasks reuse warm worker processes, so repeated query executions in
+    one session skip the per-execution actor spawn ramp (the same pattern
+    as flagship's task-pool path)."""
     import ray
     import ray.data as rd
 
-    from hamerkop_ray.synth import SynthDocsFromText
-
     kb_ref = ray.put(_kb())
     base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def synth_fn(batch, kb_ref=kb_ref):
+        from hamerkop_ray.pipelines.flagship import _StageCache
+        from hamerkop_ray.synth import SynthDocsFromText
+
+        global _SYNTH_STAGE_CACHE
+        try:
+            cache = _SYNTH_STAGE_CACHE
+        except NameError:
+            cache = _SYNTH_STAGE_CACHE = _StageCache()
+        key = getattr(kb_ref, "hex", lambda: str(id(kb_ref)))()
+        st = cache.get(key)
+        if st is None:
+            st = SynthDocsFromText(kb_ref=kb_ref)
+            cache.clear()
+            cache[key] = st
+        return st(batch)
+
     # small batch_size → many output blocks → downstream stages parallelize
     # (Ray dispatches map tasks per block; one fat block = one busy worker)
     return base.map_batches(
-        SynthDocsFromText,
-        fn_constructor_kwargs=dict(kb_ref=kb_ref),
+        synth_fn,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=4,
     )
 
 
@@ -393,7 +412,12 @@ def _er_resolved(sf_dir: str):
     from hamerkop_ray.pipelines.flagship import run_flagship
 
     docs = _span_docs(sf_dir)
-    return run_flagship(docs, _kb(), concurrency=(2, 16))["mentions"]
+    # task-pool fused path (use_actors=False): identical semantics to the
+    # actor pool, but warm Ray workers reuse the cached stage across
+    # executions — no per-run actor spawn ramp (the same path the scaling
+    # protocol measures)
+    return run_flagship(docs, _kb(), concurrency=(2, 16),
+                        use_actors=False)["mentions"]
 
 
 def _er_resolved_full(sf_dir: str):
@@ -402,9 +426,8 @@ def _er_resolved_full(sf_dir: str):
     from hamerkop_ray.pipelines.flagship import FULL_GEN_CONFIG, run_flagship
 
     docs = _span_docs(sf_dir)
-    return run_flagship(docs, _kb(), gen_config=FULL_GEN_CONFIG, concurrency=(2, 8))[
-        "mentions"
-    ]
+    return run_flagship(docs, _kb(), gen_config=FULL_GEN_CONFIG,
+                        concurrency=(2, 8), use_actors=False)["mentions"]
 
 
 def _er_resolved_partitioned(sf_dir: str):
