@@ -355,10 +355,43 @@ def resolve_partitioned(
     if num_partitions is None:
         num_partitions = _adaptive_partitions(16)
     kb_ds = rd.from_arrow(kb) if isinstance(kb, pa.Table) else kb
-    kb_refs, _ = sever_refs(kb_ds)
+    kb_refs, n_kb = sever_refs(kb_ds)
 
     # chains are consumed twice (blocking probe + resolution union)
     chain_refs, n_chains = sever_refs(chains)
+
+    flat_schema = pa.schema(
+        [("doc_id", pa.string()), ("chain_id", pa.string()),
+         ("entity_id", pa.string()), ("rjson", pa.string())]
+    )
+    if n_chains == 0:
+        empty = rd.from_arrow(flat_schema.empty_table())
+        return empty if _flat_output else empty.map_batches(
+            _parse_rjson, batch_format="pyarrow")
+    if n_kb == 0:
+        # no KB → every chain is NIL; skip the (empty-side) joins entirely —
+        # a zero-row side poisons the acero hash join in Ray 2.49
+        import json as _json
+
+        def nil_rows(t: pa.Table) -> pa.Table:
+            rows = t.to_pylist()
+            for r in rows:
+                r["entity_id"] = ""
+                r["score"] = 0.0
+                r["method"] = ""
+            return pa.table(
+                {"doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                 "chain_id": pa.array(
+                     [r["chain_id"] for r in rows], pa.string()),
+                 "entity_id": pa.array([""] * len(rows), pa.string()),
+                 "rjson": pa.array(
+                     [_json.dumps(r) for r in rows], pa.string())}
+            )
+
+        flat0 = ds_from_refs(chain_refs, CHAINS.empty_table()).map_batches(
+            nil_rows, batch_format="pyarrow")
+        return flat0 if _flat_output else flat0.map_batches(
+            _parse_rjson, batch_format="pyarrow")
     chains_probe = ds_from_refs(chain_refs, CHAINS.empty_table())
     chains_full = ds_from_refs(chain_refs, CHAINS.empty_table())
 
@@ -374,6 +407,17 @@ def resolve_partitioned(
         probe_rows_hint=n_chains,  # exact: one probe row per chain
     )
 
+    # sever between the two joins: a join's empty output partitions carry
+    # an EMPTY schema and poison the next acero join / sort (the Ray 2.49
+    # defect sever_refs exists for); also lets zero-candidate corpora skip
+    # the second join outright
+    empty_cands = pa.table(
+        {"doc_id": pa.array([], pa.string()),
+         "chain_id": pa.array([], pa.string()),
+         "entity_id": pa.array([], pa.string())}
+    )
+    cand_refs, n_cands = sever_refs(cands)
+
     def kb_payload(t: pa.Table) -> pa.Table:
         rows = t.to_pylist()
         return pa.table(
@@ -381,16 +425,19 @@ def resolve_partitioned(
              "ejson": pa.array([json.dumps(r) for r in rows], pa.string())}
         )
 
-    payload = ds_from_refs(kb_refs).map_batches(
-        kb_payload, batch_format="pyarrow")
-    pairs = salted_inner_join(
-        cands, payload, "entity_id",
-        num_partitions=num_partitions,
-        hot_threshold=hot_threshold,
-        shards=shards,
-        # exact bound: ≤ maximum_candidates rows per chain
-        left_rows_hint=n_chains * maximum_candidates,
-    )
+    if n_cands == 0:
+        pairs = None
+    else:
+        payload = ds_from_refs(kb_refs).map_batches(
+            kb_payload, batch_format="pyarrow")
+        pairs = salted_inner_join(
+            ds_from_refs(cand_refs, empty_cands), payload, "entity_id",
+            num_partitions=num_partitions,
+            hot_threshold=hot_threshold,
+            shards=shards,
+            # exact bound: ≤ maximum_candidates rows per chain
+            left_rows_hint=n_chains * maximum_candidates,
+        )
 
     def cand_side(t: pa.Table) -> pa.Table:
         pc = pa.compute
@@ -430,11 +477,19 @@ def resolve_partitioned(
         ) % np.uint64(nparts)
         return t.append_column("pkey", pa.array(h.astype("int64")))
 
-    union = chains_full.map_batches(
-        chain_side, batch_format="pyarrow"
-    ).union(pairs.map_batches(cand_side, batch_format="pyarrow")).map_batches(
-        add_pkey, batch_format="pyarrow"
-    )
+    union = chains_full.map_batches(chain_side, batch_format="pyarrow")
+    if pairs is not None:
+        # sever the join output for the same empty-partition reason
+        pair_refs, n_pairs = sever_refs(
+            pairs.map_batches(cand_side, batch_format="pyarrow"))
+        if n_pairs:
+            empty_side = pa.table(
+                {"gkey": pa.array([], pa.string()),
+                 "kind": pa.array([], pa.int8()),
+                 "payload": pa.array([], pa.string())}
+            )
+            union = union.union(ds_from_refs(pair_refs, empty_side))
+    union = union.map_batches(add_pkey, batch_format="pyarrow")
 
     res = resolvers
 
@@ -500,7 +555,11 @@ def cluster_flat(flat):
     from ..stages.joins import ds_from_refs, sever_refs
 
     pc = pa.compute
-    refs, _ = sever_refs(flat)  # consumed twice: edges + label attach
+    refs, n_flat = sever_refs(flat)  # consumed twice: edges + label attach
+    if n_flat == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(CLUSTERED_CHAINS.empty_table())
 
     def to_edges(t: pa.Table) -> pa.Table:
         linked = t.filter(pc.not_equal(t["entity_id"], ""))
@@ -524,6 +583,9 @@ def cluster_flat(flat):
         .groupby("dst")
         .aggregate(Min("src", alias_name="min_src"))
     )
+    # sever: an empty aggregate (no linked chains) carries empty-schema
+    # partitions that poison the acero left-outer join (Ray 2.49 defect)
+    agg_refs, n_agg = sever_refs(agg)
 
     def add_key(t: pa.Table) -> pa.Table:
         dst = pc.binary_join_element_wise(
@@ -533,22 +595,30 @@ def cluster_flat(flat):
         )
         return t.append_column("dst", dst)
 
-    joined = ds_from_refs(refs).map_batches(
-        add_key, batch_format="pyarrow"
-    ).join(
-        agg,
-        join_type="left_outer",
-        num_partitions=_adaptive_partitions(16),
-        on=("dst",),
-        validate_schemas=False,
-    )
+    keyed = ds_from_refs(refs).map_batches(add_key, batch_format="pyarrow")
+    if n_agg == 0:
+        joined = keyed  # every chain is NIL; finish() treats absent min_src
+    else:
+        empty_agg = pa.table(
+            {"dst": pa.array([], pa.string()),
+             "min_src": pa.array([], pa.string())}
+        )
+        joined = keyed.join(
+            ds_from_refs(agg_refs, empty_agg),
+            join_type="left_outer",
+            num_partitions=_adaptive_partitions(16),
+            on=("dst",),
+            validate_schemas=False,
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np
 
         eid = np.asarray(t["entity_id"].to_pylist(), dtype=object)
         dst = np.asarray(t["dst"].to_pylist(), dtype=object)
-        ms = np.asarray(t["min_src"].to_pylist(), dtype=object)
+        ms = (np.asarray(t["min_src"].to_pylist(), dtype=object)
+              if "min_src" in t.column_names
+              else np.full(t.num_rows, None, dtype=object))
         lbl = np.array(
             [d + "\x1f" + c
              for d, c in zip(t["doc_id"].to_pylist(),
@@ -561,8 +631,9 @@ def cluster_flat(flat):
             m = ms[linked]
             m = np.where(m == None, d, m).astype(str)  # noqa: E711
             lbl[linked] = np.where(d <= m, d, m)
-        out = t.drop_columns(["dst", "min_src"]).append_column(
-            "cluster_id", pa.array(lbl.tolist(), pa.string()))
+        out = t.drop_columns(
+            [c for c in ("dst", "min_src") if c in t.column_names]
+        ).append_column("cluster_id", pa.array(lbl.tolist(), pa.string()))
         return _parse_rjson(out)
 
     return joined.map_batches(finish, batch_format="pyarrow")

@@ -131,3 +131,40 @@ def test_partitioned_million_entity_kb_matches_broadcast_subset():
     # every planted mention resolved to its exact-name entity
     methods = {m for (_, _, eid, _, m) in got_p}
     assert methods == {"exact"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_empty_and_nil_only_edge_cases():
+    """Zero-row and zero-candidate inputs must not poison the acero joins
+    (Ray 2.49 empty-partition defect — round-4 regression guards)."""
+    import ray.data as rd
+
+    from hamerkop_ray.pipelines.flagship import run_flagship
+    from hamerkop_ray.synth import make_kb
+
+    kb = make_kb(50, 1)
+    empty = rd.from_arrow(DOCUMENTS.empty_table())
+    out = run_flagship(empty, kb, partitioned=True)["mentions"]
+    assert sum(b.num_rows for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+    # one chain whose name matches nothing: all-NIL corpus, empty edge set
+    doc = pa.Table.from_pylist(
+        [{
+            "doc_id": "X_NW_1",
+            "spans": [
+                {"kind": "token", "text": "hello", "media_ref": "",
+                 "offset": 1},
+                {"kind": "mention/PER", "text": "Zzyzx Qwortle",
+                 "media_ref": "", "offset": 7},
+            ],
+        }],
+        schema=DOCUMENTS,
+    )
+    out2 = run_flagship(rd.from_arrow(doc), kb, partitioned=True)["mentions"]
+    rows = [
+        r for b in out2.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    assert len(rows) == 1
+    assert rows[0]["entity_id"] == ""          # NIL
+    assert rows[0]["cluster_id"].startswith("X_NW_1")  # own singleton node
