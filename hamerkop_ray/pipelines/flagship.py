@@ -404,7 +404,12 @@ def resolve_partitioned(
         hot_threshold=hot_threshold,
         shards=shards,
         maximum=maximum_candidates,
-        probe_rows_hint=n_chains,  # exact: one probe row per chain
+        # exact bound: ≤ one name + one translit probe row per chain
+        probe_rows_hint=n_chains * 2,
+        # the distributed twin of the broadcast ("exact","name") +
+        # ("exact","translit") generators — translit keys join the same
+        # exploded index (KB names are Latin; romanized surfaces hit them)
+        probe_cols=("name", "translit"),
     )
 
     # sever between the two joins: a join's empty output partitions carry

@@ -205,6 +205,7 @@ def partitioned_exact_candidates(
     shards: int = 8,
     maximum: int = 25,
     probe_rows_hint: int | None = None,
+    probe_cols: tuple[str, ...] = ("name",),
 ):
     """Exact-key blocking as a DISTRIBUTED hash join — the scale path when
     the KB index is too large to broadcast (SURVEY.md §4: index shipped as a
@@ -227,18 +228,26 @@ def partitioned_exact_candidates(
 
     def probe_rows(t: pa.Table) -> pa.Table:
         pc_ = pa.compute
-        key = pc_.binary_join_element_wise(
-            pc_.cast(t["entity_type"], pa.string()),
-            pc_.utf8_lower(pc_.cast(t["name"], pa.string())),
-            "\x1f",
-        )
-        return pa.table(
-            {
-                "block_key": key,
-                "doc_id": t["doc_id"],
-                "chain_id": t["chain_id"],
-            }
-        )
+        parts = []
+        for col in probe_cols:
+            key = pc_.binary_join_element_wise(
+                pc_.cast(t["entity_type"], pa.string()),
+                pc_.utf8_lower(pc_.cast(t[col], pa.string())),
+                "\x1f",
+            )
+            part = pa.table(
+                {
+                    "block_key": key,
+                    "doc_id": t["doc_id"],
+                    "chain_id": t["chain_id"],
+                }
+            )
+            if col != "name":
+                # secondary probes (translit/translate) only where non-empty
+                part = part.filter(
+                    pc_.not_equal(pc_.cast(t[col], pa.string()), ""))
+            parts.append(part)
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     probe = chains.map_batches(probe_rows, batch_format="pyarrow")
     joined = salted_inner_join(

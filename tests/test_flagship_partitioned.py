@@ -168,3 +168,61 @@ def test_partitioned_empty_and_nil_only_edge_cases():
     assert len(rows) == 1
     assert rows[0]["entity_id"] == ""          # NIL
     assert rows[0]["cluster_id"].startswith("X_NW_1")  # own singleton node
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_translit_probe_resolves_cyrillic_surface():
+    """The distributed blocking join also probes the chain's TRANSLIT key
+    (the shuffle twin of the broadcast ("exact","translit") generator):
+    a Cyrillic surface must resolve to its Latin KB alias through the
+    partitioned path."""
+    import ray.data as rd
+
+    from hamerkop_ray.functions.langid import NgramLangDetector
+    from hamerkop_ray.functions.translit import RuleRomanizer
+    from hamerkop_ray.pipelines.flagship import resolve_partitioned
+    from hamerkop_ray.stages.chains import Stage1Chains
+    from hamerkop_ray.stages.preprocess import (
+        cascade,
+        default_cascade,
+        name_projector,
+    )
+
+    kb = pa.Table.from_pylist(
+        [
+            {"entity_id": "E1", "entity_type": "GPE", "name": "Minsk",
+             "names": ["Minsk"], "origin": "GEO", "urls": [],
+             "country": "", "latitude": 0.0, "longitude": 0.0,
+             "population": 0},
+            {"entity_id": "E2", "entity_type": "GPE", "name": "Pinsk",
+             "names": ["Pinsk"], "origin": "GEO", "urls": [],
+             "country": "", "latitude": 0.0, "longitude": 0.0,
+             "population": 0},
+        ],
+        schema=KB,
+    )
+    doc = pa.Table.from_pylist(
+        [{
+            "doc_id": "D_NW_9",
+            "spans": [
+                {"kind": "mention/GPE", "text": "Минск", "media_ref": "",
+                 "offset": 1},
+            ],
+        }],
+        schema=DOCUMENTS,
+    )
+    pre = cascade(
+        [default_cascade(), name_projector(RuleRomanizer().translate)])
+    stage = Stage1Chains(preprocessor=pre, lang_detector=NgramLangDetector())
+    chains = rd.from_arrow(doc).map_batches(stage, batch_format="pyarrow")
+    resolved = resolve_partitioned(chains, kb)
+    rows = [
+        r for b in resolved.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    assert len(rows) == 1
+    assert rows[0]["entity_id"] == "E1"
+    # blocking retrieved E1 via the translit key; the cascade then assigns
+    # through the distance resolver (ExactNameResolver reads norm strings
+    # only — reference semantics), at distance 0 on the romanized form
+    assert rows[0]["method"] == "editdist"
