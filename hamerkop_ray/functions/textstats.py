@@ -45,12 +45,15 @@ def _token_parents(arr):
 
 def whitespace_token_count(texts: pd.Series) -> pd.Series:
     """Number of whitespace-delimited tokens — vectorized RE2 split +
-    bincount (identical counts to python str.split on ASCII whitespace)."""
+    bincount.  Null/NaN texts count 0 tokens (the ``.fillna("")`` contract).
+
+    Caveat: RE2 ``\\s`` is ASCII-only, so counts match python ``str.split``
+    on ASCII whitespace; Unicode whitespace (NBSP etc.) does not split."""
     import pyarrow as pa
 
     if len(texts) == 0:
         return pd.Series([], dtype="int64", index=texts.index)
-    par, _, n = _token_parents(pa.Array.from_pandas(texts.astype(str)))
+    par, _, n = _token_parents(pa.Array.from_pandas(texts.fillna("").astype(str)))
     return pd.Series(np.bincount(par, minlength=n).astype("int64"),
                      index=texts.index)
 
@@ -80,7 +83,7 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
                          else "float64")
             for c in cols
         })
-    arr = pa.Array.from_pandas(texts.astype(str))
+    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
     n_chars = pc.utf8_length(arr).to_numpy().astype("int64")
     par, flat, n = _token_parents(arr)
     n_tokens = np.bincount(par, minlength=n).astype("int64")

@@ -1126,8 +1126,13 @@ def embedding_neardup_pairs(
         .iter_batches(batch_format="pyarrow")
         for r in b.to_pylist()
     }
+    # keyed by str(blk): expand() maps the STRING-cast block column, so the
+    # keys must be strings too — with original-typed keys (int64 labels in
+    # the testdata) every lookup missed, fillna(1) forced k=1, and the
+    # chunk-pair tiling silently degenerated to one whole-block task per
+    # block (ADVICE r4)
     nchunks = {
-        blk: max(1, -(-n // chunk_target)) for blk, n in counts.items()
+        str(blk): max(1, -(-n // chunk_target)) for blk, n in counts.items()
     }
     single_chunk = all(k == 1 for k in nchunks.values())
 

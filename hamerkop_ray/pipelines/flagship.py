@@ -183,6 +183,25 @@ def run_flagship(
     if partitioned is None:
         partitioned = (not kb_is_table) or kb.nbytes > kb_broadcast_limit_bytes
     if partitioned:
+        # the partitioned plan blocks on exact (name, translit) hash-join
+        # keys ONLY — ngram/metaphone/LSH generators cannot ride a shuffle
+        # equi-join.  A caller who explicitly asked for them (e.g.
+        # FULL_GEN_CONFIG) would otherwise silently lose recall (ADVICE r4).
+        _partitioned_probe = {"exact"}
+        dropped = [
+            g for g in (gen_config or DEFAULT_GEN_CONFIG)
+            if g[0] not in _partitioned_probe
+        ]
+        if gen_config is not None and dropped:
+            import warnings
+
+            warnings.warn(
+                "run_flagship(partitioned=True) blocks on exact "
+                "(name, translit) keys only; requested generators "
+                f"{dropped} are ignored on this path — recall may drop. "
+                "Pass partitioned=False (broadcast) to honor them.",
+                stacklevel=2,
+            )
         chains = docs.map_batches(
             Stage1Chains(sieve_stages=sieve_stages),
             batch_format="pyarrow",

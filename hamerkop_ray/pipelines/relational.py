@@ -658,11 +658,11 @@ def events_type_pivot(sf_dir: str):
 
 EVENTS_TYPE_PIVOT_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
        SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_value
 FROM events
 GROUP BY user_id

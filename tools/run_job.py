@@ -61,8 +61,14 @@ def main() -> int:
 
     if not ray.is_initialized():
         # job supervisor sets RAY_ADDRESS; "auto" attaches to the cluster.
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        # With no cluster running "auto" raises ConnectionError — fall back
+        # to a local session so smoke runs work out of the box (ADVICE r4).
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True)
+        except ConnectionError:
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True)
 
     import pyarrow.parquet as pq
 
@@ -103,13 +109,26 @@ def main() -> int:
             partitioned=partitioned,
         )["mentions"]
 
+    # snapshot pre-existing parquet so a reused output dir doesn't inflate
+    # the reported row count (ADVICE r4) — only files THIS run wrote count
+    def _parquet_files(root_dir):
+        out = set()
+        for root, _dirs, files in os.walk(root_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.join(root, fn))
+        return out
+
+    pre_existing = _parquet_files(args.output) if os.path.isdir(args.output) else set()
+    if pre_existing:
+        print(f"warning: output dir {args.output} already holds "
+              f"{len(pre_existing)} parquet file(s); counting only files "
+              "written by this run", file=sys.stderr)
     mentions.write_parquet(args.output)
     # count from the written output (cheap metadata reads, no recompute)
     total = 0
-    for root, _dirs, files in os.walk(args.output):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(root, fn)).num_rows
+    for path in sorted(_parquet_files(args.output) - pre_existing):
+        total += pq.read_metadata(path).num_rows
     wall = time.time() - t0
     n_docs = None
     try:
