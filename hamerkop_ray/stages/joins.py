@@ -78,14 +78,19 @@ def ds_from_refs(refs: list, empty_table: "pa.Table | None" = None):
     return rd.from_arrow_refs(list(refs))
 
 
-def hot_keys(ds, key: str, threshold: int) -> set[str]:
+def hot_keys(ds, key: str, threshold: int, max_keys: int = 100_000) -> set[str]:
     """Keys whose global frequency exceeds `threshold`.
 
     Cheap two-level count: per-batch partial counts (map_batches, no shuffle
     of raw rows) → small groupby over the partials.  The result is a driver-
-    side set — hot keys are by definition few.
+    side set — hot keys are by definition few, but "by definition" is not a
+    memory bound: an adversarial distribution with millions of keys just
+    above `threshold` would balloon the driver set, so the set is CAPPED at
+    the `max_keys` HOTTEST keys (deterministic tie-break on key value) and
+    the overflow is counted in the `hot_keys_overflow` metric (VERDICT r4
+    #8).  Dropped keys simply aren't salted — correctness is unaffected,
+    they ride the normal hash-join path.
     """
-    import pyarrow as _pa
 
     def partial_counts(t: pa.Table) -> pa.Table:
         counts = t.group_by(key).aggregate([(key, "count")])
@@ -96,12 +101,23 @@ def hot_keys(ds, key: str, threshold: int) -> set[str]:
 
     totals = partials.groupby(key).aggregate(Sum("cnt", alias_name="total"))
     hot = totals.filter(expr=f"total > {int(threshold)}") if hasattr(totals, "filter") else totals
-    out = set()
+    # keep (total, key) so overflow evicts the COLDEST candidates first
+    out: list[tuple[int, str]] = []
     for batch in hot.iter_batches(batch_format="pyarrow"):
         for k, tot in zip(batch[key].to_pylist(), batch["total"].to_pylist()):
             if tot > threshold:
-                out.add(k)
-    return out
+                out.append((tot, k))
+        if len(out) > 2 * max_keys:  # bound memory DURING the scan too
+            out.sort(key=lambda p: (-p[0], p[1]))
+            del out[max_keys:]
+    if len(out) > max_keys:
+        out.sort(key=lambda p: (-p[0], p[1]))
+        overflow = len(out) - max_keys
+        del out[max_keys:]
+        from ..state import metrics
+
+        metrics.incr("hot_keys_overflow", overflow)
+    return {k for _, k in out}
 
 
 def salt_column(ds, key: str, hot: set[str], shards: int, out_col: str | None = None):
