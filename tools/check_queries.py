@@ -81,6 +81,24 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
+            # no SQL oracle — fall back to a committed golden fixture when
+            # one exists for this sf (tools/make_golden.py, VERDICT r4 #5)
+            import os
+
+            golden = os.path.join(
+                os.path.dirname(__file__), "..", "tests", "golden",
+                f"{name}.{os.path.basename(sf_dir.rstrip('/'))}.parquet",
+            )
+            if os.path.exists(golden):
+                import pyarrow.parquet as _pq
+
+                want = canon(_pq.read_table(golden).to_pandas())
+                if len(got) != len(want) or not got.equals(want):
+                    failures.append(name)
+                    print(f"FAIL  {name}: mismatch vs golden fixture")
+                    continue
+                print(f"OK    {name}: {len(got)} rows match GOLDEN [{dt:.1f}s]")
+                continue
             print(f"ok*   {name}: {len(got)} rows (rows-only, no oracle) [{dt:.1f}s]")
             continue
         want = canon(con.execute(oracles[name]).fetchdf())
