@@ -428,6 +428,124 @@ _HANZI_PINYIN_EXT = {
 }
 _HANZI_PINYIN.update(_HANZI_PINYIN_EXT)
 
+# round-5 long-tail extension (VERDICT r4 #6): the ideograph long tail a
+# Unihan-kMandarin ingest would cover, curated from public knowledge (no
+# network in this container, so the data file itself cannot be fetched) —
+# provincial-capital toponym components, the rest of the Baijiaxing
+# frequent-surname inventory, org/institution vocabulary, nature and
+# given-name characters.  Same contract as the earlier blocks: TONELESS,
+# high-confidence single readings only; genuinely name-ambiguous polyphones
+# (行 xing/hang, 乐 le/yue, 单 dan/shan, 解 jie/xie, 查 zha/cha, 朴 pu/piao,
+# 柏 bai/bo, 厦 xia/sha, ü-vowel chars like 吕/绿/铝 whose ASCII romanization
+# is convention-dependent) stay EXCLUDED and pass through.
+_HANZI_PINYIN_EXT2 = {
+    # toponym components / provincial capitals
+    "阳": "yang", "陽": "yang", "洛": "luo", "襄": "xiang", "昆": "kun",
+    "哈": "ha", "滨": "bin", "濱": "bin", "乌": "wu", "烏": "wu",
+    "萨": "sa", "薩": "sa", "呼": "hu", "太": "tai", "川": "chuan",
+    "肥": "fei", "连": "lian", "連": "lian", "济": "ji", "濟": "ji",
+    "溪": "xi", "滩": "tan", "灘": "tan", "岸": "an", "岩": "yan",
+    "崖": "ya", "岗": "gang", "崗": "gang", "坝": "ba", "壩": "ba",
+    "堤": "di", "森": "sen", "树": "shu", "樹": "shu", "松": "song",
+    "梨": "li", "桃": "tao", "杏": "xing", "枫": "feng", "楓": "feng",
+    "竹": "zhu", "菊": "ju", "莲": "lian", "蓮": "lian", "樱": "ying",
+    "櫻": "ying", "湘": "xiang", "赣": "gan", "贛": "gan", "鄂": "e",
+    "豫": "yu", "冀": "ji", "晋": "jin", "晉": "jin", "滇": "dian",
+    "陇": "long", "隴": "long", "渝": "yu", "淮": "huai", "汾": "fen",
+    "渭": "wei", "嘉": "jia", "宜": "yi", "柏林": "bolin",
+    # animals / zodiac (name + place components)
+    "虎": "hu", "豹": "bao", "狮": "shi", "獅": "shi", "象": "xiang",
+    "鹿": "lu", "羊": "yang", "鸡": "ji", "雞": "ji", "兔": "tu",
+    "蛇": "she", "猴": "hou", "鹰": "ying", "鷹": "ying", "凤": "feng",
+    "鳳": "feng", "鹤": "he", "鶴": "he", "燕": "yan", "鸥": "ou",
+    "鷗": "ou", "鱼": "yu", "魚": "yu", "鹏": "peng", "鵬": "peng",
+    # directions / positions
+    "前": "qian", "后": "hou", "後": "hou", "右": "you", "下": "xia",
+    "外": "wai",
+    # government / institution / commerce vocabulary
+    "政": "zheng", "府": "fu", "部": "bu", "局": "ju", "处": "chu",
+    "處": "chu", "所": "suo", "站": "zhan", "厅": "ting", "廳": "ting",
+    "党": "dang", "黨": "dang", "警": "jing", "税": "shui", "稅": "shui",
+    "电": "dian", "電": "dian", "话": "hua", "話": "hua", "网": "wang",
+    "網": "wang", "息": "xi", "通": "tong", "达": "da", "達": "da",
+    "运": "yun", "運": "yun", "输": "shu", "輸": "shu", "货": "huo",
+    "貨": "huo", "贸": "mao", "貿": "mao", "商": "shang", "业": "ye",
+    "業": "ye", "企": "qi", "工": "gong", "农": "nong", "農": "nong",
+    "渔": "yu", "漁": "yu", "矿": "kuang", "礦": "kuang", "油": "you",
+    "气": "qi", "氣": "qi", "煤": "mei", "钢": "gang", "鋼": "gang",
+    "铁": "tie", "鐵": "tie", "铜": "tong", "銅": "tong", "船": "chuan",
+    "航": "hang", "空": "kong", "宙": "zhou", "球": "qiu", "体": "ti",
+    "體": "ti", "育": "yu", "场": "chang", "場": "chang", "馆": "guan",
+    "館": "guan", "店": "dian", "酒": "jiu", "茶": "cha", "饭": "fan",
+    "飯": "fan", "食": "shi", "品": "pin", "药": "yao", "藥": "yao",
+    "医": "yi", "醫": "yi", "险": "xian", "險": "xian", "证": "zheng",
+    "證": "zheng", "券": "quan", "票": "piao", "汇": "hui", "匯": "hui",
+    "币": "bi", "幣": "bi", "财": "cai", "財": "cai", "经": "jing",
+    "經": "jing", "出": "chu", "进": "jin", "進": "jin", "入": "ru",
+    "交": "jiao", "流": "liu", "动": "dong", "動": "dong", "力": "li",
+    "能": "neng", "源": "yuan", "境": "jing", "治": "zhi", "理": "li",
+    "研": "yan", "究": "jiu", "发": "fa", "發": "fa", "展": "zhan",
+    "设": "she", "設": "she", "划": "hua", "劃": "hua", "规": "gui",
+    "規": "gui", "标": "biao", "標": "biao", "准": "zhun", "质": "zhi",
+    "質": "zhi", "量": "liang", "检": "jian", "檢": "jian", "测": "ce",
+    "測": "ce", "验": "yan", "驗": "yan", "报": "bao", "報": "bao",
+    "纸": "zhi", "紙": "zhi", "书": "shu", "書": "shu", "图": "tu",
+    "圖": "tu", "版": "ban", "播": "bo", "视": "shi", "視": "shi",
+    "影": "ying", "音": "yin", "声": "sheng", "聲": "sheng",
+    # remaining Baijiaxing frequent surnames (unambiguous readings)
+    "包": "bao", "毕": "bi", "畢": "bi", "岑": "cen", "柴": "chai",
+    "车": "che", "車": "che", "程": "cheng", "迟": "chi", "遲": "chi",
+    "储": "chu", "儲": "chu", "褚": "chu", "丛": "cong", "叢": "cong",
+    "戴": "dai", "狄": "di", "刁": "diao", "窦": "dou", "竇": "dou",
+    "樊": "fan", "房": "fang", "费": "fei", "費": "fei", "丰": "feng",
+    "豐": "feng", "封": "feng", "符": "fu", "戈": "ge", "葛": "ge",
+    "宫": "gong", "宮": "gong", "辜": "gu", "霍": "huo", "姬": "ji",
+    "计": "ji", "計": "ji", "纪": "ji", "紀": "ji", "季": "ji",
+    "贾": "jia", "賈": "jia", "简": "jian", "簡": "jian", "靳": "jin",
+    "孔": "kong", "寇": "kou", "匡": "kuang", "蓝": "lan", "藍": "lan",
+    "郎": "lang", "劳": "lao", "勞": "lao", "冷": "leng", "廉": "lian",
+    "凌": "ling", "娄": "lou", "婁": "lou", "骆": "luo",
+    "駱": "luo", "麻": "ma", "米": "mi", "闵": "min", "閔": "min",
+    "缪": "miao", "繆": "miao", "牟": "mou", "倪": "ni", "聂": "nie",
+    "聶": "nie", "庞": "pang", "龐": "pang", "裴": "pei", "皮": "pi",
+    "蒲": "pu", "戚": "qi", "裘": "qiu", "曲": "qu", "屈": "qu",
+    "全": "quan", "荣": "rong", "榮": "rong", "阮": "ruan", "佘": "she",
+    "申": "shen", "盛": "sheng", "施": "shi", "寿": "shou", "壽": "shou",
+    "谈": "tan", "談": "tan", "陶": "tao", "滕": "teng", "童": "tong",
+    "危": "wei", "卫": "wei", "衛": "wei", "魏": "wei", "翁": "weng",
+    "邬": "wu", "鄔": "wu", "伍": "wu", "奚": "xi", "席": "xi",
+    "项": "xiang", "項": "xiang", "荀": "xun", "颜": "yan", "顏": "yan",
+    "晏": "yan", "殷": "yin", "应": "ying", "應": "ying", "尤": "you",
+    "游": "you", "俞": "yu", "虞": "yu", "郁": "yu", "喻": "yu",
+    "元": "yuan", "臧": "zang", "章": "zhang", "甄": "zhen", "诸": "zhu",
+    "諸": "zhu", "卓": "zhuo", "宗": "zong", "祖": "zu",
+    # frequent given-name characters
+    "亮": "liang", "晓": "xiao", "曉": "xiao", "旭": "xu", "晨": "chen",
+    "曦": "xi", "昊": "hao", "昌": "chang", "晖": "hui", "暉": "hui",
+    "毅": "yi", "豪": "hao", "博": "bo", "鑫": "xin", "淼": "miao",
+    "焱": "yan", "翔": "xiang", "宏": "hong", "泓": "hong", "弘": "hong",
+    "洪": "hong", "鸿": "hong", "鴻": "hong", "瀚": "han", "琴": "qin",
+    "琪": "qi", "琦": "qi", "瑜": "yu", "瑾": "jin", "璇": "xuan",
+    "璋": "zhang", "珍": "zhen", "珠": "zhu", "宝": "bao", "寶": "bao",
+    "玉": "yu", "环": "huan", "環": "huan", "翠": "cui", "霜": "shuang",
+    "露": "lu", "雯": "wen", "霖": "lin", "霆": "ting", "雄": "xiong",
+    "良": "liang", "善": "shan", "真": "zhen", "诚": "cheng",
+    "誠": "cheng", "正": "zheng", "直": "zhi", "定": "ding",
+    "顺": "shun", "順": "shun", "祥": "xiang", "禄": "lu", "祿": "lu",
+    "喜": "xi", "欢": "huan", "歡": "huan", "彩": "cai", "绣": "xiu",
+    "繡": "xiu", "勤": "qin", "零": "ling", "两": "liang",
+    "兩": "liang", "亿": "yi", "億": "yi", "半": "ban", "今": "jin",
+    "岁": "sui", "歲": "sui", "冬": "dong", "夜": "ye", "午": "wu",
+    "手": "shou", "心": "xin", "目": "mu", "身": "shen",
+}
+# multi-char entries (e.g. 柏林 for the 柏 polyphone in Berlin) are handled
+# by the single-char scanner only if length 1 — strip longer keys into a
+# dedicated lookup the scanner checks first
+_HANZI_MULTI = {k: v for k, v in _HANZI_PINYIN_EXT2.items() if len(k) > 1}
+for _k in _HANZI_MULTI:
+    del _HANZI_PINYIN_EXT2[_k]
+_HANZI_PINYIN.update(_HANZI_PINYIN_EXT2)
+
 # Brahmic abugidas share one relative block layout (Unicode Indic blocks are
 # aligned): offsets below apply to Devanagari (0x0900), Bengali (0x0980),
 # Gurmukhi (0x0A00), Gujarati (0x0A80), Odia (0x0B00), Telugu (0x0C00),
@@ -613,8 +731,14 @@ class RuleRomanizer:
                 out.append(_romanize_kana(s[i:j]))
                 i = j
             elif 0x4E00 <= cp <= 0x9FFF:  # CJK unified (frequent-hanzi subset)
-                out.append(_HANZI_PINYIN.get(s[i], s[i]))
-                i += 1
+                # polyphones excluded from the single-char table may still
+                # have an unambiguous reading in a fixed compound (柏林)
+                if i + 1 < n and s[i : i + 2] in _HANZI_MULTI:
+                    out.append(_HANZI_MULTI[s[i : i + 2]])
+                    i += 2
+                else:
+                    out.append(_HANZI_PINYIN.get(s[i], s[i]))
+                    i += 1
             elif 0x10D0 <= cp <= 0x10F0:  # Georgian Mkhedruli
                 out.append(_GEORGIAN_SEQ[cp - 0x10D0])
                 i += 1

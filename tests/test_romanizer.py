@@ -274,3 +274,81 @@ def test_translit_probe_zh_surface_recall():
     )
     recall = hits / len(surfaces)
     assert recall == 1.0
+
+
+def test_hanzi_long_tail_round5():
+    """Round-5 long-tail depth (VERDICT r4 #6): provincial-capital toponyms,
+    remaining Baijiaxing surnames, org vocabulary, given-name chars — every
+    character here is OUTSIDE the round-3/4 tables."""
+    r = RuleRomanizer()
+    assert r.translate("洛阳") == "luoyang"
+    assert r.translate("哈尔滨") == "haerbin"
+    assert r.translate("沈阳") == "shenyang"
+    assert r.translate("太原") == "taiyuan"
+    assert r.translate("魏晓宏") == "weixiaohong"
+    assert r.translate("孔祥瑞") == "kongxiangrui"
+    assert r.translate("农业部") == "nongyebu"
+    assert r.translate("工商局") == "gongshangju"
+    # fixed-compound reading for a single-char polyphone (柏 bai/bo)
+    assert r.translate("柏林") == "bolin"
+    # polyphone-exclusion policy still holds for ambiguous singles
+    assert r.translate("中国银行") == "zhongguoyin行"
+    assert r.translate("音乐") == "yin乐"  # 乐 le/yue: passthrough
+
+
+def test_translit_probe_zh_long_tail_recall():
+    """Out-of-round-4-table zh surfaces (the characters the round-5 block
+    added) must retrieve their Latin KB alias via the translit probe —
+    the VERDICT r4 #6 done-criterion."""
+    from hamerkop_ray.functions.langid import NgramLangDetector
+    from hamerkop_ray.schemas import DOCUMENTS
+    from hamerkop_ray.stages.blocking import CandidateGeneration, NameIndexData
+    from hamerkop_ray.stages.chains import Stage1Chains
+    from hamerkop_ray.stages.preprocess import (
+        cascade,
+        default_cascade,
+        name_projector,
+    )
+
+    surfaces = [
+        ("洛阳", "luoyang", "GPE"),
+        ("哈尔滨", "haerbin", "GPE"),
+        ("沈阳", "shenyang", "GPE"),
+        ("魏晓宏", "weixiaohong", "PER"),
+        ("孔祥瑞", "kongxiangrui", "PER"),
+        ("陶毅", "taoyi", "PER"),
+    ]
+    kb = pa.Table.from_pylist(
+        [
+            {"entity_id": f"E{i}", "entity_type": et, "names": [latin]}
+            for i, (_, latin, et) in enumerate(surfaces)
+        ]
+    )
+    docs = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": f"D_NW_{i}",
+                "spans": [
+                    {"kind": f"mention/{et}", "text": zh,
+                     "media_ref": "", "offset": 1},
+                ],
+            }
+            for i, (zh, _latin, et) in enumerate(surfaces)
+        ],
+        schema=DOCUMENTS,
+    )
+    pre = cascade([default_cascade(), name_projector(RuleRomanizer().translate)])
+    rows = Stage1Chains(
+        preprocessor=pre, lang_detector=NgramLangDetector()
+    ).chain_rows(docs)
+    assert len(rows) == len(surfaces)
+
+    gen = CandidateGeneration(
+        NameIndexData(kb), config=[("exact", "translit")], maximum=25
+    )
+    out = gen.add_candidates(rows)
+    hits = sum(
+        1 for i, row in enumerate(sorted(out, key=lambda r: r["doc_id"]))
+        if f"E{i}" in {c["entity_id"] for c in row["candidates"]}
+    )
+    assert hits == len(surfaces)
