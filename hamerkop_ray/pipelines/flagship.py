@@ -754,98 +754,75 @@ def resolve_partitioned(
 def cluster_flat(flat):
     """Transitive clustering over the FLAT resolved representation
     (_FLAT_RESOLVED) — the partitioned path's analog of cluster_resolved:
-    the per-entity label map is attached with a hash join on the entity
-    node key instead of a driver-side broadcast, so no KB-scale driver
-    object exists.  acero joins reject list-typed payload columns, which is
-    exactly why the nested chain lists stay JSON-packed (flat scalars are
-    native) until after this join.  → RESOLVED_CHAINS + cluster_id."""
-    from ray.data.aggregate import Min
+    no KB-scale driver object ever exists.  → RESOLVED_CHAINS + cluster_id.
+
+    Plan shape (round 5; replaces the round-4 Min-aggregate + left-outer
+    label join, i.e. TWO all-to-all stages, with ONE):
+
+      NIL chains   — cluster label is their own chain key; computed locally
+                     in a map_batches, they NEVER shuffle.  At real scale
+                     NIL is the majority of chains, so most bytes skip the
+                     exchange entirely.
+      linked chains — hash-partitioned by entity_id (all rows of an entity
+                     co-locate), one vectorized pandas kernel per PARTITION
+                     computes each entity's min chain key and the label
+                     min(E\\x1feid, min_src) in-place.  Same per-entity
+                     semantics as the old aggregate+join, one shuffle.
+
+    A pathologically hot entity co-locates its rows in one partition —
+    exactly what the old label join did with hash(dst), so skew exposure
+    is unchanged while the aggregate stage and its sever disappear."""
+    import ray.data as rd
 
     from ..stages.joins import ds_from_refs, sever_refs
 
     pc = pa.compute
-    refs, n_flat = sever_refs(flat)  # consumed twice: edges + label attach
+    refs, n_flat = sever_refs(flat)  # consumed twice: NIL side + linked side
     if n_flat == 0:
-        import ray.data as rd
-
         return rd.from_arrow(CLUSTERED_CHAINS.empty_table())
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        linked = t.filter(pc.not_equal(t["entity_id"], ""))
-        src = pc.binary_join_element_wise(
-            pc.cast(linked["doc_id"], pa.string()),
-            pc.cast(linked["chain_id"], pa.string()),
+    nparts = _adaptive_partitions(16) * 2
+
+    def nil_label(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["entity_id"], ""))
+        lbl = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.cast(t["chain_id"], pa.string()),
             "\x1f",
         )
-        dst = pc.binary_join_element_wise(
-            pa.array(["E"] * linked.num_rows, pa.string()),
-            pc.cast(linked["entity_id"], pa.string()),
-            "\x1f",
-        )
-        full = pa.table({"src": src, "dst": dst})
-        partial = full.group_by("dst").aggregate([("src", "min")])
-        return partial.rename_columns(["dst", "src"])
+        return _parse_flat(t.append_column("cluster_id", lbl))
 
-    agg = (
-        ds_from_refs(refs)
-        .map_batches(to_edges, batch_format="pyarrow")
-        .groupby("dst")
-        .aggregate(Min("src", alias_name="min_src"))
-    )
-    # sever: an empty aggregate (no linked chains) carries empty-schema
-    # partitions that poison the acero left-outer join (Ray 2.49 defect)
-    agg_refs, n_agg = sever_refs(agg)
+    def linked_pkey(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
 
-    def add_key(t: pa.Table) -> pa.Table:
-        dst = pc.binary_join_element_wise(
-            pa.array(["E"] * t.num_rows, pa.string()),
-            pc.cast(t["entity_id"], pa.string()),
-            "\x1f",
-        )
-        return t.append_column("dst", dst)
+        t = t.filter(pc.not_equal(t["entity_id"], ""))
+        h = pd.util.hash_array(
+            np.asarray(t["entity_id"].to_pandas(), dtype=object)
+        ) % np.uint64(nparts)
+        return t.append_column("pkey", pa.array(h.astype("int64")))
 
-    keyed = ds_from_refs(refs).map_batches(add_key, batch_format="pyarrow")
-    if n_agg == 0:
-        joined = keyed  # every chain is NIL; finish() treats absent min_src
-    else:
-        empty_agg = pa.table(
-            {"dst": pa.array([], pa.string()),
-             "min_src": pa.array([], pa.string())}
-        )
-        joined = keyed.join(
-            ds_from_refs(agg_refs, empty_agg),
-            join_type="left_outer",
-            num_partitions=_adaptive_partitions(16),
-            on=("dst",),
-            validate_schemas=False,
-        )
-
-    def finish(t: pa.Table) -> pa.Table:
+    def label_part(g):
         import numpy as np
 
-        eid = np.asarray(t["entity_id"].to_pylist(), dtype=object)
-        dst = np.asarray(t["dst"].to_pylist(), dtype=object)
-        ms = (np.asarray(t["min_src"].to_pylist(), dtype=object)
-              if "min_src" in t.column_names
-              else np.full(t.num_rows, None, dtype=object))
-        lbl = np.array(
-            [d + "\x1f" + c
-             for d, c in zip(t["doc_id"].to_pylist(),
-                             t["chain_id"].to_pylist())],
-            dtype=object,
-        )
-        linked = eid != ""
-        if linked.any():
-            d = dst[linked].astype(str)
-            m = ms[linked]
-            m = np.where(m == None, d, m).astype(str)  # noqa: E711
-            lbl[linked] = np.where(d <= m, d, m)
-        out = t.drop_columns(
-            [c for c in ("dst", "min_src") if c in t.column_names]
-        ).append_column("cluster_id", pa.array(lbl.tolist(), pa.string()))
-        return _parse_flat(out)
+        src = (g["doc_id"].astype(str) + "\x1f" + g["chain_id"].astype(str))
+        dst = "E\x1f" + g["entity_id"].astype(str)
+        min_src = src.groupby(g["entity_id"], sort=False).transform("min")
+        g = g.drop(columns=["pkey"])
+        g["cluster_id"] = np.where(dst <= min_src, dst, min_src)
+        return g.astype({c: "string" for c in g.columns
+                         if c not in ("score", "n_mentions")})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    nil_out = ds_from_refs(refs, _FLAT_RESOLVED.empty_table()).map_batches(
+        nil_label, batch_format="pyarrow")
+    linked_out = (
+        ds_from_refs(refs, _FLAT_RESOLVED.empty_table())
+        .map_batches(linked_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(label_part, batch_format="pandas")
+        .map_batches(_parse_flat, batch_format="pyarrow")
+    )
+    return nil_out.union(linked_out)
 
 
 def cluster_resolved(resolved):
