@@ -502,13 +502,19 @@ def resolve_partitioned(
     )
     from ..stages.joins import ds_from_refs, salted_inner_join, sever_refs
 
-    if num_partitions is None:
-        num_partitions = _adaptive_partitions(16)
+    user_np = num_partitions
     kb_ds = rd.from_arrow(kb) if isinstance(kb, pa.Table) else kb
     kb_refs, n_kb = sever_refs(kb_ds)
 
     # chains are consumed twice (blocking probe + resolution union)
     chain_refs, n_chains = sever_refs(chains)
+
+    from ..stages.joins import sized_partitions
+
+    # row-aware exchange widths (sized_partitions docstring): the blocking
+    # join sees ~2 probe rows per chain + ~4 exploded index rows per entity
+    num_partitions = user_np if user_np is not None else sized_partitions(
+        n_chains * 2 + n_kb * 4)
 
     if n_chains == 0:
         empty = rd.from_arrow(_FLAT_RESOLVED.empty_table())
@@ -584,11 +590,12 @@ def resolve_partitioned(
             kb_payload, batch_format="pyarrow")
         pairs = salted_inner_join(
             ds_from_refs(cand_refs, empty_cands), payload, "entity_id",
-            num_partitions=num_partitions,
+            num_partitions=(user_np if user_np is not None
+                            else sized_partitions(n_cands + n_kb)),
             hot_threshold=hot_threshold,
             shards=shards,
-            # exact bound: ≤ maximum_candidates rows per chain
-            left_rows_hint=n_chains * maximum_candidates,
+            # exact: the candidate side was just severed and counted
+            left_rows_hint=n_cands,
         )
 
     def cand_side(t: pa.Table) -> pa.Table:
@@ -656,8 +663,11 @@ def resolve_partitioned(
     # the resolve shuffle groups by HASH PARTITION of the chain key, not one
     # Ray group per chain (per-chain map_groups paid Ray's per-group
     # overhead ~30k times at sf0.1 — 167 s in the round-4 bench); each pkey
-    # group resolves thousands of chains with one pandas groupby
-    nparts = max(8, num_partitions * 2)
+    # group resolves thousands of chains with one pandas groupby.  The
+    # resolver cascade is CPU-bound, so partitions are sized at ~1k chains
+    # each (not the joins' 64k narrow rows) to keep every core busy.
+    nparts = (max(8, user_np * 2) if user_np is not None
+              else sized_partitions(n_chains, rows_per_part=1024, lo=8))
 
     def add_pkey(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -781,7 +791,11 @@ def cluster_flat(flat):
     if n_flat == 0:
         return rd.from_arrow(CLUSTERED_CHAINS.empty_table())
 
-    nparts = _adaptive_partitions(16) * 2
+    from ..stages.joins import sized_partitions
+
+    # labeling is one vectorized pandas groupby-transform per partition —
+    # cheap per row, so partitions are sized for exchange width, not CPU
+    nparts = sized_partitions(n_flat, rows_per_part=8192, lo=4)
 
     def nil_label(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["entity_id"], ""))

@@ -250,6 +250,18 @@ def partitioned_exact_candidates(
         return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     probe = chains.map_batches(probe_rows, batch_format="pyarrow")
+    if hot_threshold is not None and (
+        probe_rows_hint is None or probe_rows_hint > hot_threshold
+    ):
+        # the hot-key pre-pass will scan the probe side — sever it first so
+        # probe_rows is computed ONCE (the pre-pass and the join both read
+        # the severed blocks instead of re-deriving probes from chains), and
+        # the exact row count replaces the caller's upper-bound hint
+        from .joins import ds_from_refs, sever_refs
+
+        p_refs, n_probe = sever_refs(probe)
+        probe = ds_from_refs(p_refs)
+        probe_rows_hint = n_probe
     joined = salted_inner_join(
         probe,
         kb_index,

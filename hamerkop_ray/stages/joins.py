@@ -78,6 +78,33 @@ def ds_from_refs(refs: list, empty_table: "pa.Table | None" = None):
     return rd.from_arrow_refs(list(refs))
 
 
+def sized_partitions(
+    rows: int, *, rows_per_part: int = 65536, lo: int = 2, hi: int | None = None
+) -> int:
+    """Row-aware shuffle-partition count: ceil(rows / rows_per_part) clamped
+    to [lo, hi].
+
+    Replaces fixed num_partitions=16 in the partitioned-ER plan, wrong in
+    BOTH directions: at sf0.1 (~100k narrow rows) 16 partitions spawn 16
+    join-aggregator actors (~0.125 CPU each) of pure fixed cost per join,
+    while on a real multi-hundred-CPU cluster 16 partitions would leave most
+    of the cluster idle during the exchange.  `hi` defaults to
+    max(16, 2 × cluster CPUs) so the count grows with the cluster; the floor
+    keeps two-sided joins correct (a 1-partition acero join still works, but
+    2+ exercises the partitioned code path everywhere)."""
+    import math
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    if hi is None:
+        hi = max(16, 2 * cpus)
+    return min(hi, max(lo, math.ceil(max(rows, 1) / rows_per_part)))
+
+
 def hot_keys(ds, key: str, threshold: int, max_keys: int = 100_000) -> set[str]:
     """Keys whose global frequency exceeds `threshold`.
 
